@@ -1,0 +1,122 @@
+"""YAML experiment-config loader.
+
+Keeps the reference's config surface — a YAML with sections
+``experiment / model / scheduler / dataset / quality_metrics / logger /
+inference / experiment_params`` (reference ``configs/*.yaml``,
+``main.py:11``) — without the omegaconf dependency: :class:`ConfigNode`
+gives dotted attribute access plus ``.get(key, default)``, and
+:func:`validate_config` enforces the section schema up front instead of
+failing with attribute errors mid-run.
+"""
+
+from __future__ import annotations
+
+import copy
+from pathlib import Path
+from typing import Any, Iterator, Mapping
+
+import yaml
+
+
+class ConfigError(ValueError):
+    pass
+
+
+class ConfigNode(Mapping[str, Any]):
+    """Read-only dict wrapper with attribute access, nesting-aware."""
+
+    __slots__ = ("_data",)
+
+    def __init__(self, data: Mapping[str, Any]):
+        object.__setattr__(self, "_data", dict(data))
+
+    # -- mapping protocol -------------------------------------------------
+    def __getitem__(self, key: str) -> Any:
+        return _wrap(self._data[key])
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._data)
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    def __contains__(self, key: object) -> bool:
+        return key in self._data
+
+    # -- attribute access --------------------------------------------------
+    def __getattr__(self, key: str) -> Any:
+        try:
+            return _wrap(self._data[key])
+        except KeyError:
+            raise AttributeError(
+                f"config has no key {key!r}; available: {sorted(self._data)}"
+            ) from None
+
+    def __setattr__(self, key: str, value: Any) -> None:
+        raise TypeError("ConfigNode is read-only; use .replace(**updates)")
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return _wrap(self._data.get(key, default))
+
+    def to_dict(self) -> dict:
+        return copy.deepcopy(self._data)
+
+    def replace(self, **updates: Any) -> "ConfigNode":
+        d = self.to_dict()
+        d.update(updates)
+        return ConfigNode(d)
+
+    def __repr__(self) -> str:
+        return f"ConfigNode({self._data!r})"
+
+
+def _wrap(value: Any) -> Any:
+    if isinstance(value, ConfigNode):
+        return value
+    if isinstance(value, Mapping):
+        return ConfigNode(value)
+    return value
+
+
+REQUIRED_SECTIONS = ("experiment", "model", "dataset", "inference")
+KNOWN_SECTIONS = REQUIRED_SECTIONS + (
+    "experiment_name",
+    "scheduler",
+    "quality_metrics",
+    "logger",
+    "experiment_params",
+)
+
+
+def validate_config(cfg: ConfigNode) -> ConfigNode:
+    missing = [s for s in REQUIRED_SECTIONS if s not in cfg]
+    if missing:
+        raise ConfigError(f"config missing required sections {missing}")
+    unknown = [s for s in cfg if s not in KNOWN_SECTIONS]
+    if unknown:
+        raise ConfigError(
+            f"config has unknown sections {unknown}; known: {sorted(KNOWN_SECTIONS)}"
+        )
+    if "method" not in cfg.experiment:
+        raise ConfigError("config experiment section must set 'method'")
+    if "model_name" not in cfg.model:
+        raise ConfigError("config model section must set 'model_name'")
+    return cfg
+
+
+def load_config(path: str | Path) -> ConfigNode:
+    """Load + validate a YAML experiment config."""
+    path = Path(path)
+    if not path.exists():
+        # Parity with the reference CLI: bare names resolve under ./configs
+        # (reference main.py:11,17-24).
+        alt = Path("configs") / path.name
+        if alt.exists():
+            path = alt
+        else:
+            raise FileNotFoundError(f"config not found: {path}")
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    if not isinstance(raw, Mapping):
+        raise ConfigError(f"config root must be a mapping, got {type(raw).__name__}")
+    return validate_config(ConfigNode(raw))

@@ -1,0 +1,286 @@
+"""Scheduler registry classes (parity names: reference ``src/registry.py`` +
+``src/schedulers.py`` — ``dpm_solver_scheduler``, ``ddim_scheduler``,
+``lcm_scheduler`` — plus ``pndm_scheduler``, SD-1.5's default pipeline
+scheduler that the reference's ``default`` method relies on implicitly).
+
+Each class is a thin *plan builder* around the pure row builders: it holds
+schedule constants and solver options, and emits :class:`SamplePlan`s.  No
+mutable per-run state exists anywhere — the plan is the run.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from sonicdiffusionbayeslab_tpu.registry import schedulers_registry
+from sonicdiffusionbayeslab_tpu.schedulers import plans  # noqa: F401  (re-export)
+from sonicdiffusionbayeslab_tpu.schedulers.ddim import ddim_rows, ddim_transition_row
+from sonicdiffusionbayeslab_tpu.schedulers.dpm import dpm_rows, make_ladder, simulate_orders
+from sonicdiffusionbayeslab_tpu.schedulers.lcm import lcm_rows
+from sonicdiffusionbayeslab_tpu.schedulers.plan import SamplePlan, StepRow, stack_rows
+from sonicdiffusionbayeslab_tpu.schedulers.plans import (  # noqa: F401
+    interleave_plan,
+    skip_plan,
+    two_scheduler_plan,
+)
+from sonicdiffusionbayeslab_tpu.schedulers.pndm import pndm_rows
+from sonicdiffusionbayeslab_tpu.schedulers.schedule import (
+    NoiseSchedule,
+    ScheduleConfig,
+    space_timesteps,
+)
+
+__all__ = [
+    "ScheduleConfig",
+    "NoiseSchedule",
+    "SamplePlan",
+    "StepRow",
+    "DDIMScheduler",
+    "DPMSolverScheduler",
+    "LCMScheduler",
+    "PNDMScheduler",
+    "two_scheduler_plan",
+    "interleave_plan",
+    "skip_plan",
+]
+
+
+class _PlanBuilder:
+    NAME = "base"
+
+    def __init__(self, schedule_config=None, prediction_type: Optional[str] = None):
+        base = ScheduleConfig.from_dict(schedule_config or {})
+        if prediction_type is not None:
+            import dataclasses
+
+            base = dataclasses.replace(base, prediction_type=prediction_type)
+        self.schedule = NoiseSchedule.create(base)
+        self.config = base
+
+    @classmethod
+    def from_config(cls, schedule_config, **kwargs):
+        """Parity shim for the reference's ``from_config(pipe.scheduler.config,
+        **kw)`` construction (src/experiments/base_experiment.py:66-72)."""
+        return cls(schedule_config=schedule_config, **kwargs)
+
+    def timesteps(self, num_steps: int) -> np.ndarray:
+        return space_timesteps(
+            num_steps,
+            self.config.num_train_timesteps,
+            self.config.timestep_spacing,
+            self.config.steps_offset,
+        )
+
+    def build_plan(self, num_steps: int) -> SamplePlan:
+        raise NotImplementedError
+
+    # Composer hooks; overridden where supported.
+    def transition_rows(self, ts, num_steps, executed, tag=""):
+        raise NotImplementedError(f"{self.NAME} cannot be composed this way")
+
+    def transition_rows_from_schedule(self, ts, start, tag=""):
+        raise NotImplementedError(f"{self.NAME} cannot be composed this way")
+
+    def ladder_rows(self, ts_exec, positions, tag=""):
+        raise NotImplementedError(f"{self.NAME} cannot be interleaved")
+
+    def skip_rows(self, num_steps, executed, tag=""):
+        raise NotImplementedError(f"{self.NAME} does not support skip plans")
+
+
+@schedulers_registry.add_to_registry("ddim_scheduler")
+class DDIMScheduler(_PlanBuilder):
+    NAME = "ddim"
+
+    def __init__(self, schedule_config=None, prediction_type=None, eta: float = 0.0):
+        super().__init__(schedule_config, prediction_type)
+        self.eta = float(eta)
+
+    def build_plan(self, num_steps: int) -> SamplePlan:
+        rows = ddim_rows(
+            self.schedule,
+            self.timesteps(num_steps),
+            num_steps,
+            eta=self.eta,
+            prediction_type=self.config.prediction_type,
+        )
+        return stack_rows(rows, name=f"ddim(n={num_steps})")
+
+    def transition_rows(self, ts, num_steps, executed, tag=""):
+        return ddim_rows(
+            self.schedule,
+            ts,
+            num_steps,
+            eta=self.eta,
+            prediction_type=self.config.prediction_type,
+            executed=executed,
+            tag=tag,
+        )
+
+    def transition_rows_from_schedule(self, ts, start, tag=""):
+        # Seeded-schedule phase: transitions follow the given timestep list.
+        rows = []
+        for i in range(start, len(ts)):
+            prev_t = int(ts[i + 1]) if i + 1 < len(ts) else -1
+            rows.append(
+                ddim_transition_row(
+                    self.schedule,
+                    int(ts[i]),
+                    prev_t,
+                    eta=self.eta,
+                    prediction_type=self.config.prediction_type,
+                    tag=tag,
+                )
+            )
+        return rows
+
+    def ladder_rows(self, ts_exec, positions, tag=""):
+        rows = []
+        for p in positions:
+            prev_t = int(ts_exec[p + 1]) if p + 1 < len(ts_exec) else -1
+            rows.append(
+                ddim_transition_row(
+                    self.schedule,
+                    int(ts_exec[p]),
+                    prev_t,
+                    eta=self.eta,
+                    prediction_type=self.config.prediction_type,
+                    tag=tag,
+                )
+            )
+        return rows
+
+    def skip_rows(self, num_steps, executed, tag=""):
+        return ddim_rows(
+            self.schedule,
+            self.timesteps(num_steps),
+            num_steps,
+            eta=self.eta,
+            prediction_type=self.config.prediction_type,
+            executed=executed,
+            tag=tag,
+        )
+
+
+@schedulers_registry.add_to_registry("dpm_solver_scheduler")
+class DPMSolverScheduler(_PlanBuilder):
+    NAME = "dpm_solver"
+
+    def __init__(
+        self,
+        schedule_config=None,
+        prediction_type=None,
+        solver_order: int = 2,
+        algorithm_type: str = "dpmsolver++",
+        solver_type: str = "midpoint",
+        final_sigmas_type: str = "zero",
+        lower_order_final: bool = True,
+        euler_at_final: bool = False,
+    ):
+        super().__init__(schedule_config, prediction_type)
+        if solver_order not in (1, 2, 3):
+            raise ValueError(f"solver_order must be 1-3, got {solver_order}")
+        self.solver_order = int(solver_order)
+        self.algorithm_type = algorithm_type
+        self.solver_type = solver_type
+        self.final_sigmas_type = final_sigmas_type
+        self.lower_order_final = bool(lower_order_final)
+        self.euler_at_final = bool(euler_at_final)
+
+    def _kw(self):
+        return dict(
+            solver_order=self.solver_order,
+            algorithm_type=self.algorithm_type,
+            solver_type=self.solver_type,
+            final_sigmas_type=self.final_sigmas_type,
+            prediction_type=self.config.prediction_type,
+            lower_order_final=self.lower_order_final,
+            euler_at_final=self.euler_at_final,
+        )
+
+    def build_plan(self, num_steps: int) -> SamplePlan:
+        ts = self.timesteps(num_steps)
+        ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
+        rows = dpm_rows(self.schedule, ladder, range(len(ts)), **self._kw())
+        return stack_rows(rows, name=f"dpm{self.solver_order}(n={num_steps})", hist_depth=self.solver_order)
+
+    def transition_rows(self, ts, num_steps, executed, tag=""):
+        ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
+        return dpm_rows(self.schedule, ladder, list(executed), tag=tag, **self._kw())
+
+    def transition_rows_from_schedule(self, ts, start, tag=""):
+        ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
+        return dpm_rows(
+            self.schedule, ladder, range(start, len(ts)), tag=tag, **self._kw()
+        )
+
+    def ladder_rows(self, ts_exec, positions, tag=""):
+        ladder = make_ladder(self.schedule, ts_exec, self.final_sigmas_type)
+        orders = simulate_orders(
+            positions,
+            len(ts_exec),
+            self.solver_order,
+            lower_order_final=self.lower_order_final,
+            euler_at_final=self.euler_at_final,
+            final_sigmas_type=self.final_sigmas_type,
+        )
+        # History availability: every executed step pushes into the shared
+        # ring, so at the k-th listed position there are >= k prior entries;
+        # simulate_orders already caps the order at k+1 via lower_order_nums.
+        kw = self._kw()
+        return dpm_rows(self.schedule, ladder, positions, orders=orders, tag=tag, **kw)
+
+    def skip_rows(self, num_steps, executed, tag=""):
+        ts = self.timesteps(num_steps)
+        ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
+        first = executed[0]
+        positions = [first + k for k in range(len(executed))]
+        unet_ts = [int(ts[i]) for i in executed]
+        return dpm_rows(
+            self.schedule, ladder, positions, unet_timesteps=unet_ts, tag=tag, **self._kw()
+        )
+
+
+@schedulers_registry.add_to_registry("lcm_scheduler")
+class LCMScheduler(_PlanBuilder):
+    NAME = "lcm"
+
+    def __init__(
+        self,
+        schedule_config=None,
+        prediction_type=None,
+        original_inference_steps: int = 50,
+        timestep_scaling: float = 10.0,
+        sigma_data: float = 0.5,
+    ):
+        super().__init__(schedule_config, prediction_type)
+        self.original_inference_steps = int(original_inference_steps)
+        self.timestep_scaling = float(timestep_scaling)
+        self.sigma_data = float(sigma_data)
+
+    def build_plan(self, num_steps: int) -> SamplePlan:
+        rows = lcm_rows(
+            self.schedule,
+            num_steps,
+            original_inference_steps=self.original_inference_steps,
+            timestep_scaling=self.timestep_scaling,
+            sigma_data=self.sigma_data,
+            prediction_type=self.config.prediction_type,
+        )
+        return stack_rows(rows, name=f"lcm(n={num_steps})")
+
+
+@schedulers_registry.add_to_registry("pndm_scheduler")
+class PNDMScheduler(_PlanBuilder):
+    NAME = "pndm"
+
+    def __init__(self, schedule_config=None, prediction_type=None):
+        super().__init__(schedule_config, prediction_type)
+
+    def build_plan(self, num_steps: int) -> SamplePlan:
+        rows = pndm_rows(
+            self.schedule, num_steps, prediction_type=self.config.prediction_type
+        )
+        return stack_rows(rows, name=f"pndm(n={num_steps})", hist_depth=4)

@@ -1,0 +1,294 @@
+"""Scheduler math gates (SURVEY §4): each plan builder is validated against
+an *independent* naive implementation of the published algorithm coded here
+(not against the row-expansion code under test), plus exact-denoiser path
+invariants and convergence checks."""
+
+import numpy as np
+import pytest
+
+from sonicdiffusionbayeslab_tpu.schedulers import (
+    DDIMScheduler,
+    DPMSolverScheduler,
+    LCMScheduler,
+    PNDMScheduler,
+)
+from sonicdiffusionbayeslab_tpu.schedulers.plan import reference_apply
+from sonicdiffusionbayeslab_tpu.schedulers.schedule import (
+    NoiseSchedule,
+    ScheduleConfig,
+    space_timesteps,
+)
+
+SD = ScheduleConfig()  # SD-1.5 constants
+NS = NoiseSchedule.create(SD)
+SHAPE = (2, 4, 4, 4)
+RNG = np.random.default_rng(0)
+X0_TRUE = RNG.standard_normal(SHAPE)
+EPS_HAT = RNG.standard_normal(SHAPE)
+
+
+def path_sample(t):
+    a = np.sqrt(NS.acp(t))
+    s = np.sqrt(1 - NS.acp(t))
+    return a * X0_TRUE + s * EPS_HAT
+
+
+def exact_eps(i, t, x):
+    """Oracle epsilon of the delta-distribution-at-X0_TRUE model."""
+    a = np.sqrt(NS.acp(t))
+    s = np.sqrt(1 - NS.acp(t))
+    return (x - a * X0_TRUE) / s
+
+
+def random_eps_fn(seed):
+    def f(i, t, x):
+        r = np.random.default_rng(seed * 1000 + int(t))
+        return 0.3 * r.standard_normal(x.shape) + 0.1 * x
+
+    return f
+
+
+# ---------------------------------------------------------------- spacing
+def test_spacing_leading():
+    ts = space_timesteps(10, 1000, "leading", steps_offset=1)
+    assert ts.tolist() == [901, 801, 701, 601, 501, 401, 301, 201, 101, 1]
+
+
+def test_spacing_linspace_trailing():
+    ts = space_timesteps(4, 1000, "linspace")
+    assert ts.tolist() == [999, 666, 333, 0]
+    ts = space_timesteps(4, 1000, "trailing")
+    assert ts[0] == 999 and ts[-1] == 249 and len(ts) == 4
+
+
+# --------------------------------------------------------- exact-denoiser
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_dpm_exact_denoiser_stays_on_path(order):
+    """With the exact denoiser (constant x0), every DPM++ order's trajectory
+    is exactly alpha_t * x0 + sigma_t * eps_hat along the ladder, ending at
+    x0 (final sigma 0)."""
+    sched = DPMSolverScheduler(solver_order=order)
+    plan = sched.build_plan(20)
+    x_start = path_sample(int(plan.timesteps[0]))
+    final = reference_apply(plan, x_start, exact_eps)
+    np.testing.assert_allclose(final, X0_TRUE, rtol=1e-7, atol=1e-8)
+
+
+def test_ddim_exact_denoiser_on_path():
+    sched = DDIMScheduler()
+    plan = sched.build_plan(10)
+    x = path_sample(int(plan.timesteps[0]))
+    final = reference_apply(plan, x, exact_eps)
+    # DDIM's final acp_prev is acp[t_last - ratio]; with set_alpha_to_one
+    # False it lands at acp[0]'s noise level on the exact path.
+    t_last = int(plan.timesteps[-1])
+    acp_prev = NS.acp_or_final(t_last - 100)
+    expect = np.sqrt(acp_prev) * X0_TRUE + np.sqrt(1 - acp_prev) * EPS_HAT
+    np.testing.assert_allclose(final, expect, rtol=1e-7, atol=1e-8)
+
+
+# ------------------------------------------------- independent naive DDIM
+def naive_ddim(ns, num_steps, x, eps_fn, eta=0.0):
+    ts = space_timesteps(num_steps, 1000, ns.config.timestep_spacing, ns.config.steps_offset)
+    for i, t in enumerate(int(v) for v in ts):
+        eps = eps_fn(i, t, x)
+        acp_t = ns.acp(t)
+        prev_t = t - 1000 // num_steps
+        acp_prev = ns.acp_or_final(prev_t)
+        x0 = (x - np.sqrt(1 - acp_t) * eps) / np.sqrt(acp_t)
+        var = (1 - acp_prev) / (1 - acp_t) * (1 - acp_t / acp_prev)
+        std = eta * np.sqrt(var)
+        x = np.sqrt(acp_prev) * x0 + np.sqrt(1 - acp_prev - std**2) * eps
+    return x
+
+
+def test_ddim_rows_match_naive():
+    plan = DDIMScheduler().build_plan(7)
+    eps_fn = random_eps_fn(3)
+    got = reference_apply(plan, path_sample(int(plan.timesteps[0])), eps_fn)
+    want = naive_ddim(NS, 7, path_sample(int(plan.timesteps[0])), eps_fn)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+# ------------------------------------------------ independent naive DPM++
+def naive_dpmpp(ns, num_steps, x, eps_fn, order=2):
+    """Direct transcription of published DPM-Solver++ multistep (2M/3M) with
+    diffusers' order warm-up/demotion — independent of the row expansion."""
+    ts = space_timesteps(num_steps, 1000, ns.config.timestep_spacing, ns.config.steps_offset)
+    sig = np.sqrt((1 - ns.acp(ts)) / ns.acp(ts))
+    sig = np.concatenate([sig, [0.0]])
+    alpha = 1 / np.sqrt(1 + sig**2)
+    sigt = sig * alpha
+    with np.errstate(divide="ignore"):
+        lam = np.log(alpha) - np.log(sigt)
+    m = [None, None, None]
+    lon = 0
+    L = len(ts)
+    for i, t in enumerate(int(v) for v in ts):
+        eps = eps_fn(i, t, x)
+        x0 = (x - sigt[i] * eps) / alpha[i]
+        m = [x0] + m[:2]
+        lof = (i == L - 1) and (True or L < 15)  # final_sigmas_type == zero
+        los = (i == L - 2) and L < 15
+        if order == 1 or lon < 1 or lof:
+            use = 1
+        elif order == 2 or lon < 2 or los:
+            use = 2
+        else:
+            use = 3
+        if lon < order:
+            lon += 1
+        s0, t1 = i, i + 1
+        h = lam[t1] - lam[s0]
+        if use == 1:
+            x = (sigt[t1] / sigt[s0]) * x - alpha[t1] * np.expm1(-h) * m[0]
+        elif use == 2:
+            h0 = lam[s0] - lam[s0 - 1]
+            r0 = h0 / h
+            D0, D1 = m[0], (m[0] - m[1]) / r0
+            x = (sigt[t1] / sigt[s0]) * x - alpha[t1] * np.expm1(-h) * D0 - 0.5 * alpha[t1] * np.expm1(-h) * D1
+        else:
+            h0 = lam[s0] - lam[s0 - 1]
+            h1 = lam[s0 - 1] - lam[s0 - 2]
+            r0, r1 = h0 / h, h1 / h
+            D0 = m[0]
+            D1_0, D1_1 = (m[0] - m[1]) / r0, (m[1] - m[2]) / r1
+            D1 = D1_0 + r0 / (r0 + r1) * (D1_0 - D1_1)
+            D2 = (D1_0 - D1_1) / (r0 + r1)
+            x = (
+                (sigt[t1] / sigt[s0]) * x
+                - alpha[t1] * np.expm1(-h) * D0
+                + alpha[t1] * (np.expm1(-h) / h + 1.0) * D1
+                - alpha[t1] * ((np.expm1(-h) + h) / h**2 - 0.5) * D2
+            )
+    return x
+
+
+@pytest.mark.parametrize("order,steps", [(1, 8), (2, 8), (2, 20), (3, 20), (3, 12)])
+def test_dpm_rows_match_naive(order, steps):
+    plan = DPMSolverScheduler(solver_order=order).build_plan(steps)
+    eps_fn = random_eps_fn(7)
+    x = path_sample(int(plan.timesteps[0]))
+    got = reference_apply(plan, x, eps_fn)
+    want = naive_dpmpp(NS, steps, x, eps_fn, order=order)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
+def test_dpm_order2_converges():
+    """On a smooth synthetic denoiser over a *fixed* integration range
+    (trailing spacing: t=999 down to sigma=0), refining the grid must shrink
+    the error against a high-resolution solution monotonically."""
+
+    def smooth_eps(i, t, x):
+        return np.tanh(0.1 * x) + 0.001 * t / 1000.0
+
+    cfg = {"timestep_spacing": "trailing", "steps_offset": 0}
+    x_start = path_sample(999)
+    ref = reference_apply(
+        DPMSolverScheduler(cfg, solver_order=2).build_plan(500), x_start, smooth_eps
+    )
+    errs = []
+    for n in (10, 20, 40):
+        plan = DPMSolverScheduler(cfg, solver_order=2).build_plan(n)
+        x = reference_apply(plan, x_start, smooth_eps)
+        errs.append(np.max(np.abs(x - ref)))
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[0] / errs[2] > 4.0
+
+
+# -------------------------------------------------- independent naive LCM
+def naive_lcm(ns, num_steps, x, eps_fn, noise_fn):
+    k = 1000 // 50
+    origin = np.arange(1, 51) * k - 1
+    skip = 50 // num_steps
+    ts = origin[::-1][::skip][:num_steps]
+    for i, t in enumerate(int(v) for v in ts):
+        eps = eps_fn(i, t, x)
+        acp_t = ns.acp(t)
+        x0 = (x - np.sqrt(1 - acp_t) * eps) / np.sqrt(acp_t)
+        st = t * 10.0
+        c_skip = 0.25 / (st**2 + 0.25)
+        c_out = st / np.sqrt(st**2 + 0.25)
+        denoised = c_out * x0 + c_skip * x
+        if i < len(ts) - 1:
+            acp_prev = ns.acp(int(ts[i + 1]))
+            x = np.sqrt(acp_prev) * denoised + np.sqrt(1 - acp_prev) * noise_fn(i, x.shape)
+        else:
+            x = denoised
+    return x
+
+
+def test_lcm_rows_match_naive():
+    plan = LCMScheduler().build_plan(4)
+
+    def noise_fn(i, shape):
+        return np.random.default_rng(100 + i).standard_normal(shape)
+
+    eps_fn = random_eps_fn(11)
+    x = path_sample(int(plan.timesteps[0]))
+    got = reference_apply(plan, x, eps_fn, noise_fn=noise_fn)
+    want = naive_lcm(NS, 4, x, eps_fn, noise_fn)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
+def test_lcm_timestep_schedule():
+    plan = LCMScheduler().build_plan(4)
+    assert plan.timesteps.tolist() == [999, 759, 519, 279]
+
+
+# ------------------------------------------------- independent naive PLMS
+def naive_plms(ns, num_steps, x, eps_fn):
+    ratio = 1000 // num_steps
+    asc = np.arange(num_steps) * ratio + ns.config.steps_offset
+    seq = np.concatenate([asc[:-1], asc[-2:-1], asc[-1:]])[::-1]
+    ets, cur_sample = [], None
+
+    def prev_sample(sample, t_used, prev_used, eps):
+        acp_t = ns.acp(t_used)
+        acp_prev = ns.acp_or_final(prev_used)
+        c = np.sqrt(acp_prev / acp_t)
+        denom = acp_t * np.sqrt(1 - acp_prev) + np.sqrt(acp_t * (1 - acp_t) * acp_prev)
+        return c * sample - (acp_prev - acp_t) * eps / denom
+
+    for k, t in enumerate(int(v) for v in seq):
+        eps = eps_fn(k, t, x)
+        if k != 1:
+            ets.append(eps)
+        if k == 1:
+            t_used, prev_used = t + ratio, t
+            eps_used = (eps + ets[-1]) / 2
+            sample = cur_sample
+        else:
+            t_used, prev_used = t, t - ratio
+            sample = x
+            if len(ets) == 1 and k == 0:
+                eps_used = eps
+                cur_sample = x
+            elif len(ets) == 2:
+                eps_used = (3 * ets[-1] - ets[-2]) / 2
+            elif len(ets) == 3:
+                eps_used = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+            else:
+                eps_used = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]) / 24
+        x = prev_sample(sample, t_used, prev_used, eps_used)
+    return x
+
+
+@pytest.mark.parametrize("steps", [5, 10])
+def test_pndm_rows_match_naive(steps):
+    plan = PNDMScheduler().build_plan(steps)
+    assert plan.num_steps == steps + 1  # PLMS duplicated first transition
+    eps_fn = random_eps_fn(13)
+    x = path_sample(int(plan.timesteps[0]))
+    got = reference_apply(plan, x, eps_fn)
+    want = naive_plms(NS, steps, x, eps_fn)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
+# -------------------------------------------------------- x0 introspection
+def test_x0_capture_is_exact_with_oracle():
+    plan = DPMSolverScheduler(solver_order=2).build_plan(10)
+    x = path_sample(int(plan.timesteps[0]))
+    _, x0s = reference_apply(plan, x, exact_eps, collect_x0=True)
+    for x0 in x0s:
+        np.testing.assert_allclose(x0, X0_TRUE, rtol=1e-6, atol=1e-7)
