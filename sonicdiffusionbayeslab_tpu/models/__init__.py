@@ -1,0 +1,8 @@
+from sonicdiffusionbayeslab_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel  # noqa: F401
+from sonicdiffusionbayeslab_tpu.models.sampler import (  # noqa: F401
+    CachePlan,
+    SampleOutput,
+    StableDiffusionEngine,
+)
+from sonicdiffusionbayeslab_tpu.models.unet import UNet2DCondition, UNetConfig  # noqa: F401
+from sonicdiffusionbayeslab_tpu.models.vae import AutoencoderKL, VAEConfig  # noqa: F401

@@ -1,0 +1,112 @@
+"""CLIP text encoder in Flax (ViT-L/14 text tower, SD-1.5's conditioner).
+
+TPU-native replacement for the transformers ``CLIPTextModel`` the reference
+uses via ``encode_prompt`` (src/models.py:139-155).  Pre-LN transformer with
+causal masking and quick-GELU, final LayerNorm; SD conditions on the last
+hidden state [B, 77, 768].
+
+Also doubles as the text tower for the on-device CLIP-score metric; the
+matching vision tower lives in ``clip_vision.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sonicdiffusionbayeslab_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    max_length: int = 77
+    intermediate_size: int = 3072
+
+    @classmethod
+    def tiny(cls) -> "CLIPTextConfig":
+        return cls(vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64)
+
+    @classmethod
+    def sd15(cls) -> "CLIPTextConfig":
+        return cls()
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class CLIPAttention(nn.Module):
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+        B, T, C = x.shape
+        D = C // self.num_heads
+        dense = lambda name: nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name=name)  # noqa: E731
+        q = dense("q_proj")(x).reshape(B, T, self.num_heads, D)
+        k = dense("k_proj")(x).reshape(B, T, self.num_heads, D)
+        v = dense("v_proj")(x).reshape(B, T, self.num_heads, D)
+        o = dot_product_attention(q, k, v, mask=mask)
+        return dense("out_proj")(o.reshape(B, T, C))
+
+
+class CLIPLayer(nn.Module):
+    num_heads: int
+    intermediate_size: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = nn.LayerNorm(name="ln1", **kw)(x)
+        x = x + CLIPAttention(self.num_heads, name="attn", **kw)(h, mask)
+        h = nn.LayerNorm(name="ln2", **kw)(x)
+        h = nn.Dense(self.intermediate_size, name="fc1", **kw)(h)
+        h = quick_gelu(h)
+        x = x + nn.Dense(x.shape[-1], name="fc2", **kw)(h)
+        return x
+
+
+class CLIPTextModel(nn.Module):
+    config: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array):
+        """input_ids [B, T] -> dict(last_hidden_state [B, T, C], pooled [B, C])."""
+        cfg = self.config
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        B, T = input_ids.shape
+        tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, param_dtype=self.param_dtype, name="token_embedding")(
+            input_ids
+        )
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.max_length, cfg.hidden_size),
+            self.param_dtype,
+        )
+        x = (tok + pos[None, :T]).astype(self.dtype)
+
+        causal = jnp.tril(jnp.ones((T, T), bool))[None, None]  # [1, 1, T, T]
+        for i in range(cfg.num_layers):
+            x = CLIPLayer(cfg.num_heads, cfg.intermediate_size, name=f"layer_{i}", **kw)(x, causal)
+        x = nn.LayerNorm(name="final_ln", **kw)(x)
+        x = x.astype(jnp.float32)
+
+        # Pooled output = hidden state at each sequence's EOT token (highest
+        # token id in CLIP's vocab ordering — argmax convention).
+        eot = jnp.argmax(input_ids, axis=-1)
+        pooled = x[jnp.arange(B), eot]
+        return {"last_hidden_state": x, "pooled_output": pooled}

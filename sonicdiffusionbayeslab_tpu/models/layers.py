@@ -1,0 +1,249 @@
+"""Shared Flax building blocks for the SD model stack (TPU-first).
+
+Replaces the diffusers/torch module zoo the reference leans on through pip
+(SURVEY §2.2: UNet2DConditionModel / AutoencoderKL / CLIPTextModel CUDA
+kernels invoked from src/models.py:227-235, 288-292, 139-149).
+
+TPU conventions used throughout:
+* NHWC activations (feature-minor = lane dimension; XLA's native conv layout
+  on TPU) — never NCHW.
+* ``dtype`` is the compute dtype (bf16 on TPU), ``param_dtype`` the storage
+  dtype; GroupNorm statistics and softmax run in fp32.
+* Attention goes through :func:`sonicdiffusionbayeslab_tpu.ops.attention`
+  so the Pallas flash kernel can be swapped in behind a flag.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sonicdiffusionbayeslab_tpu.ops.attention import dot_product_attention
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal timestep embedding, [B] -> [B, dim] (fp32)."""
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedMLP(nn.Module):
+    """time_embedding: sinusoid -> Linear -> SiLU -> Linear (4x widening)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: jax.Array) -> jax.Array:
+        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(t_emb)
+        h = nn.silu(h)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(h)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32 statistics regardless of compute dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        import math
+
+        channels = x.shape[-1]
+        groups = self.num_groups if channels % self.num_groups == 0 else math.gcd(
+            channels, self.num_groups
+        )
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        x = nn.GroupNorm(
+            num_groups=groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+        )(x)
+        return x.astype(orig_dtype)
+
+
+class ResnetBlock(nn.Module):
+    """GN -> SiLU -> conv3x3 -> (+time) -> GN -> SiLU -> conv3x3, + skip."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, t_emb: Optional[jax.Array] = None) -> jax.Array:
+        conv = lambda name: nn.Conv(  # noqa: E731
+            self.out_channels, (3, 3), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        h = GroupNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = conv("conv1")(h)
+        if t_emb is not None:
+            t = nn.Dense(
+                self.out_channels, dtype=self.dtype, param_dtype=self.param_dtype, name="time_emb_proj"
+            )(nn.silu(t_emb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = conv("conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, param_dtype=self.param_dtype, name="conv_shortcut"
+            )(x)
+        return x + h
+
+
+class Attention(nn.Module):
+    """Multi-head attention over [B, N, C] with optional cross context."""
+
+    num_heads: int
+    head_dim: int
+    out_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, mask=None) -> jax.Array:
+        ctx = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        q = dense(inner, "to_q")(x)
+        k = dense(inner, "to_k")(ctx)
+        v = dense(inner, "to_v")(ctx)
+
+        B, N, _ = q.shape
+        M = k.shape[1]
+        q = q.reshape(B, N, self.num_heads, self.head_dim)
+        k = k.reshape(B, M, self.num_heads, self.head_dim)
+        v = v.reshape(B, M, self.num_heads, self.head_dim)
+
+        o = dot_product_attention(q, k, v, mask=mask)
+        o = o.reshape(B, N, inner)
+        return nn.Dense(
+            self.out_dim or x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype, name="to_out"
+        )(o)
+
+
+class GEGLUFeedForward(nn.Module):
+    """Transformer FF with GEGLU gate (SD convention), 4x widening."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
+
+
+class TransformerBlock(nn.Module):
+    """LN -> self-attn -> LN -> cross-attn -> LN -> GEGLU FF (pre-norm residuals)."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=name)  # noqa: E731
+        attn = lambda name: Attention(  # noqa: E731
+            self.num_heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        x = x + attn("attn1")(ln("norm1")(x))
+        x = x + attn("attn2")(ln("norm2")(x), context=context)
+        x = x + GEGLUFeedForward(
+            x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
+        )(ln("norm3")(x))
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """Transformer2D over an NHWC feature map: GN -> proj_in -> blocks -> proj_out, residual."""
+
+    num_heads: int
+    head_dim: int
+    depth: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        residual = x
+        h = GroupNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(x)
+        h = h.reshape(B, H * W, C)
+        h = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(h)
+        for i in range(self.depth):
+            h = TransformerBlock(
+                self.num_heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"block_{i}",
+            )(h, context)
+        h = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
+        return h.reshape(B, H, W, C) + residual
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(
+            self.channels, (3, 3), strides=(2, 2), padding=1,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(
+            self.channels, (3, 3), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name="conv"
+        )(x)
+
+
+class AttnBlock2D(nn.Module):
+    """Single-head (configurable) spatial self-attention used in the VAE mid block."""
+
+    num_heads: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        h = GroupNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(x)
+        h = h.reshape(B, H * W, C)
+        h = Attention(
+            self.num_heads, C // self.num_heads, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="attn",
+        )(h)
+        return x + h.reshape(B, H, W, C)

@@ -1,0 +1,285 @@
+"""The jitted sampling engine: one ``lax.scan`` denoise loop around the UNet.
+
+This single function family replaces all four ~350-line reference pipelines
+(src/models.py: StableDiffusionModel 21-335 and its TwoSchedulers /
+Interliving / SkipTimesteps variants): their differences are entirely in the
+:class:`SamplePlan` they run, never in compiled code.
+
+Compile-count discipline (TPU-first): the plan's per-step arrays are
+*traced inputs*, so one compiled denoise function serves every plan with the
+same (num_steps, hist_depth, batch, latent shape, cfg-ness, noise-ness,
+cache-ness) signature.  Timing mirrors the reference protocol exactly —
+wall clock around the denoise loop only, excluding text encode and VAE
+decode (src/models.py:208, 284-285) — via ``block_until_ready`` on the
+jitted loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonicdiffusionbayeslab_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+from sonicdiffusionbayeslab_tpu.models.unet import UNet2DCondition, UNetConfig
+from sonicdiffusionbayeslab_tpu.models.vae import AutoencoderKL, VAEConfig
+from sonicdiffusionbayeslab_tpu.schedulers.plan import SamplePlan
+from sonicdiffusionbayeslab_tpu.schedulers.runtime import SchedulerCarry, apply_row, init_carry
+from sonicdiffusionbayeslab_tpu.utils import rng as rng_util
+
+
+@dataclasses.dataclass(frozen=True)
+class CachePlan:
+    """DeepCache schedule: step i runs the deep trunk iff ``full[i]``.
+
+    Reference semantics (deep_cache.py:25-29 + the DeepCache package): the
+    trunk is recomputed every ``cache_interval`` steps and replayed
+    otherwise.  ``cache_branch_id`` > 0 (deeper split points) is not yet
+    re-expressed — the split lives at down/up level 0 (branch 0), the
+    configuration the reference sweeps.
+    """
+
+    full: np.ndarray  # bool [L]
+
+    @classmethod
+    def every(cls, num_steps: int, cache_interval: int) -> "CachePlan":
+        idx = np.arange(num_steps)
+        return cls(full=(idx % int(cache_interval)) == 0)
+
+    @classmethod
+    def none(cls, num_steps: int) -> "CachePlan":
+        return cls(full=np.ones(num_steps, bool))
+
+
+@dataclasses.dataclass
+class SampleOutput:
+    images: jax.Array  # [B, H, W, 3] in [0, 1]
+    execution_time: float  # denoise-loop seconds (reference timing contract)
+    x0_images: Optional[jax.Array]  # [S, h, w, 3] decoded per-step x0 of sample 0
+    latents: jax.Array  # final latents [B, h, w, 4]
+    nfe: int
+
+
+class StableDiffusionEngine:
+    """Owns module definitions + the jit caches. Params are passed in (pure)."""
+
+    def __init__(
+        self,
+        unet_config: UNetConfig = None,
+        vae_config: VAEConfig = None,
+        text_config: CLIPTextConfig = None,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.bfloat16,
+    ):
+        self.unet_config = unet_config or UNetConfig.sd15()
+        self.vae_config = vae_config or VAEConfig.sd15()
+        self.text_config = text_config or CLIPTextConfig.sd15()
+        self.unet = UNet2DCondition(self.unet_config, dtype=dtype, param_dtype=param_dtype)
+        self.vae = AutoencoderKL(self.vae_config, dtype=dtype, param_dtype=param_dtype)
+        self.text = CLIPTextModel(self.text_config, dtype=dtype, param_dtype=param_dtype)
+
+    # ------------------------------------------------------------- params
+    def init_params(self, seed: int = 0, latent_hw: int = 64) -> Dict[str, Any]:
+        """Random-init parameter pytree (HF-weight loading: models/weights.py)."""
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        lat = jnp.zeros((1, latent_hw, latent_hw, self.unet_config.in_channels))
+        ctx = jnp.zeros((1, self.text_config.max_length, self.unet_config.cross_attention_dim))
+        ids = jnp.zeros((1, self.text_config.max_length), jnp.int32)
+        return {
+            "unet": self.unet.init(k1, lat, jnp.zeros((1,)), ctx)["params"],
+            "vae": self.vae.init(k2, lat, method=self.vae.init_all)["params"],
+            "text": self.text.init(k3, ids)["params"],
+        }
+
+    # ------------------------------------------------------------- encode
+    @functools.cached_property
+    def encode_fn(self):
+        @jax.jit
+        def encode(text_params, input_ids):
+            return self.text.apply({"params": text_params}, input_ids)["last_hidden_state"]
+
+        return encode
+
+    def encode_prompts(self, params, input_ids: np.ndarray) -> jax.Array:
+        return self.encode_fn(params["text"], jnp.asarray(input_ids))
+
+    # ------------------------------------------------------------- decode
+    @functools.cached_property
+    def decode_fn(self):
+        @jax.jit
+        def decode(vae_params, latents):
+            img = self.vae.apply({"params": vae_params}, latents, method=self.vae.decode)
+            return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+
+        return decode
+
+    # ------------------------------------------------------------ denoise
+    @functools.lru_cache(maxsize=64)
+    def _denoise_fn(
+        self,
+        num_steps: int,
+        hist_depth: int,
+        has_saved: bool,
+        needs_noise: bool,
+        do_cfg: bool,
+        use_rescale: bool,
+        use_cache: bool,
+        collect_x0: bool,
+    ):
+        unet = self.unet
+
+        def denoise(unet_params, latents0, embeds, plan_xs, guidance, rescale, key):
+            """latents0 [B,h,w,4] fp32; embeds [2B or B, T, C]; plan_xs dict of [L,...]."""
+
+            def body(carry, xs):
+                sched: SchedulerCarry = carry["sched"]
+                lat = sched.latents
+                lat_in = jnp.concatenate([lat, lat]) if do_cfg else lat
+                lat_in = lat_in.astype(unet.dtype)
+
+                tb = jnp.broadcast_to(xs["timestep"], (lat_in.shape[0],))
+                if use_cache:
+                    def full(c):
+                        return unet.apply(
+                            {"params": unet_params}, lat_in, tb, embeds, return_cache=True
+                        )
+
+                    def cached(c):
+                        return (
+                            unet.apply({"params": unet_params}, lat_in, tb, embeds, cache=c),
+                            c,
+                        )
+
+                    noise_pred, new_cache = jax.lax.cond(
+                        xs["cache_full"] > 0, full, cached, carry["cache"]
+                    )
+                else:
+                    noise_pred = unet.apply({"params": unet_params}, lat_in, tb, embeds)
+                    new_cache = None
+
+                noise_pred = noise_pred.astype(jnp.float32)
+                if do_cfg:
+                    eps_u, eps_t = jnp.split(noise_pred, 2, axis=0)
+                    eps = eps_u + guidance * (eps_t - eps_u)
+                    if use_rescale:
+                        # Rescale CFG (Lin et al. 2023 §3.4; reference
+                        # rescale_noise_cfg path, src/models.py:238-250).
+                        std_t = jnp.std(eps_t, axis=(1, 2, 3), keepdims=True)
+                        std_c = jnp.std(eps, axis=(1, 2, 3), keepdims=True)
+                        eps = rescale * (eps * std_t / std_c) + (1 - rescale) * eps
+                else:
+                    eps = noise_pred
+
+                noise = None
+                key_out = carry["key"]
+                if needs_noise:
+                    key_out, sub = jax.random.split(carry["key"])
+                    noise = jax.random.normal(sub, lat.shape, jnp.float32)
+                new_sched, x0 = apply_row(sched, eps, xs, noise)
+
+                out_carry = {"sched": new_sched, "key": key_out}
+                if use_cache:
+                    out_carry["cache"] = new_cache
+                return out_carry, (x0[0] if collect_x0 else None)
+
+            carry0: Dict[str, Any] = {"sched": init_carry_static(latents0), "key": key}
+            if use_cache:
+                b = latents0.shape[0] * (2 if do_cfg else 1)
+                h, w = latents0.shape[1], latents0.shape[2]
+                carry0["cache"] = jnp.zeros(
+                    (b,) + unet.cache_shape(h, w), unet.dtype
+                )
+            carry, x0_seq = jax.lax.scan(body, carry0, plan_xs)
+            return carry["sched"].latents, x0_seq
+
+        def init_carry_static(latents0):
+            lat = latents0.astype(jnp.float32)
+            hist = jnp.zeros((hist_depth,) + lat.shape, jnp.float32)
+            saved = jnp.zeros_like(lat) if has_saved else None
+            return SchedulerCarry(lat, hist, saved)
+
+        return jax.jit(denoise)
+
+    # ------------------------------------------------------------- sample
+    def sample(
+        self,
+        params: Dict[str, Any],
+        plan: SamplePlan,
+        prompt_embeds: jax.Array,  # [B, T, C]
+        negative_embeds: Optional[jax.Array],  # [B, T, C] or None
+        key: jax.Array,
+        sample_indices: Optional[np.ndarray] = None,
+        guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
+        cache_plan: Optional[CachePlan] = None,
+        latent_hw: Tuple[int, int] = (64, 64),
+        collect_x0: bool = False,
+        decode: bool = True,
+    ) -> SampleOutput:
+        """Generate images for one batch. Returns reference-contract output:
+        (images, execution_time of the denoise loop only, optional x0 decodes)
+        — cf. src/models.py:329-335."""
+        B = int(prompt_embeds.shape[0])
+        do_cfg = guidance_scale > 1.0 and negative_embeds is not None
+        embeds = (
+            jnp.concatenate([negative_embeds, prompt_embeds]) if do_cfg else prompt_embeds
+        )
+
+        if sample_indices is None:
+            sample_indices = np.arange(B)
+        lat_shape = (latent_hw[0], latent_hw[1], self.unet_config.in_channels)
+        latents0 = rng_util.per_sample_latents(
+            key, jnp.asarray(sample_indices, jnp.int32), lat_shape
+        )
+
+        xs = {k: jnp.asarray(v) for k, v in plan.scan_xs().items()}
+        use_cache = cache_plan is not None
+        if use_cache:
+            if len(cache_plan.full) != plan.num_steps:
+                raise ValueError("cache plan length != plan length")
+            if not cache_plan.full[0]:
+                raise ValueError("first step must compute the deep trunk")
+            xs["cache_full"] = jnp.asarray(cache_plan.full, jnp.float32)
+
+        fn = self._denoise_fn(
+            plan.num_steps,
+            plan.hist_depth,
+            plan.has_saved,
+            plan.needs_noise,
+            do_cfg,
+            guidance_rescale > 0.0,
+            use_cache,
+            collect_x0,
+        )
+
+        step_key = jax.random.fold_in(key, 0x5EED)
+        # Reference timing contract: wall clock around the denoise loop only.
+        t0 = time.perf_counter()
+        latents, x0_seq = fn(
+            params["unet"],
+            latents0,
+            embeds,
+            xs,
+            jnp.float32(guidance_scale),
+            jnp.float32(guidance_rescale),
+            step_key,
+        )
+        latents = jax.block_until_ready(latents)
+        execution_time = time.perf_counter() - t0
+
+        images = self.decode_fn(params["vae"], latents) if decode else None
+        x0_images = None
+        if collect_x0:
+            x0_images = self.decode_fn(params["vae"], x0_seq)
+        return SampleOutput(
+            images=images,
+            execution_time=execution_time,
+            x0_images=x0_images,
+            latents=latents,
+            nfe=plan.nfe,
+        )

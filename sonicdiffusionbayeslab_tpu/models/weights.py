@@ -1,0 +1,335 @@
+"""HF (torch) checkpoint -> Flax param-tree conversion + orbax caching.
+
+Replaces the reference's hub-download path (``from_pretrained(...,
+torch_dtype=fp16)``, src/experiments/base_experiment.py:57-63) with an
+offline converter: point it at a local diffusers-layout snapshot
+(``unet/diffusion_pytorch_model.bin``/``.safetensors``, ``vae/...``,
+``text_encoder/pytorch_model.bin``) and it produces this package's NHWC
+Flax trees, cached as an orbax checkpoint so conversion happens once.
+
+Name mapping is *derived from our module tree* (``target_to_source``):
+for every Flax param path we compute the diffusers tensor name and the
+transform (torch OIHW conv -> HWIO kernel, [out,in] linear -> [in,out]
+kernel, 1x1-conv projections -> dense kernels).  The inverse transform is
+exported for round-trip tests, so the mapping is validated without needing
+diffusers installed.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+from sonicdiffusionbayeslab_tpu.models.unet import UNetConfig
+
+Transform = Callable[[np.ndarray], np.ndarray]
+
+
+def _conv(w):  # torch OIHW -> flax HWIO
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _conv_inv(w):
+    return np.transpose(w, (3, 2, 0, 1))
+
+
+def _lin(w):  # torch [out, in] -> flax [in, out]
+    return np.transpose(w)
+
+
+def _conv1x1_to_dense(w):  # torch [out, in, 1, 1] -> dense [in, out]
+    return np.transpose(w[:, :, 0, 0])
+
+
+def _conv1x1_to_dense_inv(w):
+    return np.transpose(w)[:, :, None, None]
+
+
+def _id(w):
+    return np.asarray(w)
+
+
+# ---------------------------------------------------------------- UNet map
+def unet_name_map(cfg: UNetConfig) -> Dict[str, Tuple[str, Transform, Transform]]:
+    """{flax_path: (diffusers_name, fwd_transform, inv_transform)}.
+
+    Flax paths use '/'-joined module names; leaf names kernel/bias/scale.
+    """
+    m: Dict[str, Tuple[str, Transform, Transform]] = {}
+
+    def conv(dst, src):
+        m[f"{dst}/kernel"] = (f"{src}.weight", _conv, _conv_inv)
+        m[f"{dst}/bias"] = (f"{src}.bias", _id, _id)
+
+    def dense(dst, src, bias=True):
+        m[f"{dst}/kernel"] = (f"{src}.weight", _lin, _lin)
+        if bias:
+            m[f"{dst}/bias"] = (f"{src}.bias", _id, _id)
+
+    def norm(dst, src):
+        m[f"{dst}/GroupNorm_0/scale"] = (f"{src}.weight", _id, _id)
+        m[f"{dst}/GroupNorm_0/bias"] = (f"{src}.bias", _id, _id)
+
+    def ln(dst, src):
+        m[f"{dst}/scale"] = (f"{src}.weight", _id, _id)
+        m[f"{dst}/bias"] = (f"{src}.bias", _id, _id)
+
+    def resnet(dst, src):
+        norm(f"{dst}/norm1", f"{src}.norm1")
+        conv(f"{dst}/conv1", f"{src}.conv1")
+        dense(f"{dst}/time_emb_proj", f"{src}.time_emb_proj")
+        norm(f"{dst}/norm2", f"{src}.norm2")
+        conv(f"{dst}/conv2", f"{src}.conv2")
+        # conv_shortcut exists only when channels change; mapped lazily by
+        # presence in the target tree (convert() skips absent paths).
+        conv(f"{dst}/conv_shortcut", f"{src}.conv_shortcut")
+
+    def xfmr(dst, src, depth):
+        norm(f"{dst}/norm", f"{src}.norm")
+        # SD-1.5 uses 1x1-conv projections (use_linear_projection=False).
+        m[f"{dst}/proj_in/kernel"] = (f"{src}.proj_in.weight", _conv1x1_to_dense, _conv1x1_to_dense_inv)
+        m[f"{dst}/proj_in/bias"] = (f"{src}.proj_in.bias", _id, _id)
+        m[f"{dst}/proj_out/kernel"] = (f"{src}.proj_out.weight", _conv1x1_to_dense, _conv1x1_to_dense_inv)
+        m[f"{dst}/proj_out/bias"] = (f"{src}.proj_out.bias", _id, _id)
+        for d in range(depth):
+            b_dst, b_src = f"{dst}/block_{d}", f"{src}.transformer_blocks.{d}"
+            for a in ("attn1", "attn2"):
+                for p in ("to_q", "to_k", "to_v"):
+                    dense(f"{b_dst}/{a}/{p}", f"{b_src}.{a}.{p}", bias=False)
+                dense(f"{b_dst}/{a}/to_out", f"{b_src}.{a}.to_out.0")
+            dense(f"{b_dst}/ff/proj_in", f"{b_src}.ff.net.0.proj")
+            dense(f"{b_dst}/ff/proj_out", f"{b_src}.ff.net.2")
+            for i in (1, 2, 3):
+                ln(f"{b_dst}/norm{i}", f"{b_src}.norm{i}")
+
+    conv("conv_in", "conv_in")
+    dense("time_embedding/fc1", "time_embedding.linear_1")
+    dense("time_embedding/fc2", "time_embedding.linear_2")
+
+    n = len(cfg.block_out_channels)
+    for lvl in range(n):
+        for j in range(cfg.layers_per_block):
+            resnet(f"down_{lvl}_res_{j}", f"down_blocks.{lvl}.resnets.{j}")
+            if cfg.cross_attention[lvl]:
+                xfmr(
+                    f"down_{lvl}_attn_{j}",
+                    f"down_blocks.{lvl}.attentions.{j}",
+                    cfg.transformer_depth,
+                )
+        if lvl < n - 1:
+            conv(f"down_{lvl}_downsample/conv", f"down_blocks.{lvl}.downsamplers.0.conv")
+
+    resnet("mid_res_0", "mid_block.resnets.0")
+    resnet("mid_res_1", "mid_block.resnets.1")
+    xfmr("mid_attn", "mid_block.attentions.0", cfg.transformer_depth)
+
+    for lvl in range(n):
+        k = n - 1 - lvl  # diffusers up_blocks index
+        for j in range(cfg.layers_per_block + 1):
+            resnet(f"up_{lvl}_res_{j}", f"up_blocks.{k}.resnets.{j}")
+            if cfg.cross_attention[lvl]:
+                xfmr(f"up_{lvl}_attn_{j}", f"up_blocks.{k}.attentions.{j}", cfg.transformer_depth)
+        if lvl > 0:
+            conv(f"up_{lvl}_upsample/conv", f"up_blocks.{k}.upsamplers.0.conv")
+
+    norm("conv_norm_out", "conv_norm_out")
+    conv("conv_out", "conv_out")
+    return m
+
+
+# ----------------------------------------------------------------- VAE map
+def vae_name_map(n_levels: int, layers_per_block: int) -> Dict[str, Tuple[str, Transform, Transform]]:
+    m: Dict[str, Tuple[str, Transform, Transform]] = {}
+
+    def conv(dst, src):
+        m[f"{dst}/kernel"] = (f"{src}.weight", _conv, _conv_inv)
+        m[f"{dst}/bias"] = (f"{src}.bias", _id, _id)
+
+    def norm(dst, src):
+        m[f"{dst}/GroupNorm_0/scale"] = (f"{src}.weight", _id, _id)
+        m[f"{dst}/GroupNorm_0/bias"] = (f"{src}.bias", _id, _id)
+
+    def resnet(dst, src):
+        norm(f"{dst}/norm1", f"{src}.norm1")
+        conv(f"{dst}/conv1", f"{src}.conv1")
+        norm(f"{dst}/norm2", f"{src}.norm2")
+        conv(f"{dst}/conv2", f"{src}.conv2")
+        conv(f"{dst}/conv_shortcut", f"{src}.conv_shortcut")
+
+    def attn(dst, src):
+        norm(f"{dst}/norm", f"{src}.group_norm")
+        for mine, theirs in (("to_q", "to_q"), ("to_k", "to_k"), ("to_v", "to_v")):
+            m[f"{dst}/attn/{mine}/kernel"] = (f"{src}.{theirs}.weight", _lin, _lin)
+        m[f"{dst}/attn/to_out/kernel"] = (f"{src}.to_out.0.weight", _lin, _lin)
+        m[f"{dst}/attn/to_out/bias"] = (f"{src}.to_out.0.bias", _id, _id)
+
+    # decoder
+    conv("decoder/conv_in", "decoder.conv_in")
+    resnet("decoder/mid_res_0", "decoder.mid_block.resnets.0")
+    resnet("decoder/mid_res_1", "decoder.mid_block.resnets.1")
+    attn("decoder/mid_attn", "decoder.mid_block.attentions.0")
+    for i in range(n_levels):
+        for j in range(layers_per_block + 1):
+            resnet(f"decoder/up_{i}_res_{j}", f"decoder.up_blocks.{i}.resnets.{j}")
+        if i < n_levels - 1:
+            conv(f"decoder/up_{i}_upsample/conv", f"decoder.up_blocks.{i}.upsamplers.0.conv")
+    norm("decoder/norm_out", "decoder.conv_norm_out")
+    conv("decoder/conv_out", "decoder.conv_out")
+    # encoder
+    conv("encoder/conv_in", "encoder.conv_in")
+    for i in range(n_levels):
+        for j in range(layers_per_block):
+            resnet(f"encoder/down_{i}_res_{j}", f"encoder.down_blocks.{i}.resnets.{j}")
+        if i < n_levels - 1:
+            conv(f"encoder/down_{i}_downsample/conv", f"encoder.down_blocks.{i}.downsamplers.0.conv")
+    resnet("encoder/mid_res_0", "encoder.mid_block.resnets.0")
+    resnet("encoder/mid_res_1", "encoder.mid_block.resnets.1")
+    attn("encoder/mid_attn", "encoder.mid_block.attentions.0")
+    norm("encoder/norm_out", "encoder.conv_norm_out")
+    conv("encoder/conv_out", "encoder.conv_out")
+    conv("post_quant_conv", "post_quant_conv")
+    conv("quant_conv", "quant_conv")
+    return m
+
+
+# ------------------------------------------------------------ CLIP text map
+def clip_text_name_map(num_layers: int) -> Dict[str, Tuple[str, Transform, Transform]]:
+    m: Dict[str, Tuple[str, Transform, Transform]] = {}
+    p = "text_model"
+    m["token_embedding/embedding"] = (f"{p}.embeddings.token_embedding.weight", _id, _id)
+    m["position_embedding"] = (f"{p}.embeddings.position_embedding.weight", _id, _id)
+    for i in range(num_layers):
+        src = f"{p}.encoder.layers.{i}"
+        dst = f"layer_{i}"
+        for a in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            m[f"{dst}/attn/{a}/kernel"] = (f"{src}.self_attn.{a}.weight", _lin, _lin)
+            m[f"{dst}/attn/{a}/bias"] = (f"{src}.self_attn.{a}.bias", _id, _id)
+        for mine, theirs in (("ln1", "layer_norm1"), ("ln2", "layer_norm2")):
+            m[f"{dst}/{mine}/scale"] = (f"{src}.{theirs}.weight", _id, _id)
+            m[f"{dst}/{mine}/bias"] = (f"{src}.{theirs}.bias", _id, _id)
+        for fc in ("fc1", "fc2"):
+            m[f"{dst}/{fc}/kernel"] = (f"{src}.mlp.{fc}.weight", _lin, _lin)
+            m[f"{dst}/{fc}/bias"] = (f"{src}.mlp.{fc}.bias", _id, _id)
+    m["final_ln/scale"] = (f"{p}.final_layer_norm.weight", _id, _id)
+    m["final_ln/bias"] = (f"{p}.final_layer_norm.bias", _id, _id)
+    return m
+
+
+# ---------------------------------------------------------------- plumbing
+def flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten(v, path))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+def unflatten(flat: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for path, v in flat.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def convert(
+    source: Dict[str, np.ndarray],
+    name_map: Dict[str, Tuple[str, Transform, Transform]],
+    target_paths,
+    dtype=np.float32,
+) -> dict:
+    """Build the Flax tree for ``target_paths`` from a torch state dict."""
+    flat = {}
+    missing = []
+    for path in target_paths:
+        if path not in name_map:
+            missing.append(path)
+            continue
+        src_name, fwd, _ = name_map[path]
+        if src_name not in source:
+            missing.append(f"{path} <- {src_name}")
+            continue
+        flat[path] = fwd(np.asarray(source[src_name], dtype=np.float32)).astype(dtype)
+    if missing:
+        raise KeyError(f"weight conversion missing {len(missing)} tensors, e.g. {missing[:5]}")
+    return unflatten(flat)
+
+
+def invert(
+    tree: dict, name_map: Dict[str, Tuple[str, Transform, Transform]]
+) -> Dict[str, np.ndarray]:
+    """Flax tree -> torch-layout state dict (round-trip testing / export)."""
+    out = {}
+    for path, v in flatten(tree).items():
+        src_name, _, inv = name_map[path]
+        out[src_name] = inv(np.asarray(v, np.float32))
+    return out
+
+
+def load_torch_state_dict(path: str | Path) -> Dict[str, np.ndarray]:
+    """Load a .bin (torch pickle) or .safetensors file to numpy."""
+    path = Path(path)
+    if path.suffix == ".safetensors":
+        try:
+            from safetensors.numpy import load_file
+
+            return dict(load_file(str(path)))
+        except ImportError as e:
+            raise RuntimeError("safetensors not installed; use a .bin checkpoint") from e
+    import torch
+
+    sd = torch.load(str(path), map_location="cpu", weights_only=True)
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def load_sd_checkpoint(snapshot_dir: str | Path, engine, dtype=np.float32) -> dict:
+    """diffusers-layout snapshot dir -> full {unet, vae, text} param tree,
+    shaped/validated against ``engine``'s randomly-initialized tree."""
+    snapshot_dir = Path(snapshot_dir)
+    ref = engine.init_params(seed=0)
+
+    def find(sub):
+        d = snapshot_dir / sub
+        for name in ("diffusion_pytorch_model.bin", "pytorch_model.bin",
+                     "diffusion_pytorch_model.safetensors", "model.safetensors"):
+            if (d / name).exists():
+                return load_torch_state_dict(d / name)
+        raise FileNotFoundError(f"no checkpoint under {d}")
+
+    out = {
+        "unet": convert(find("unet"), unet_name_map(engine.unet_config),
+                        flatten(ref["unet"]).keys(), dtype),
+        "vae": convert(
+            find("vae"),
+            vae_name_map(len(engine.vae_config.block_out_channels), engine.vae_config.layers_per_block),
+            flatten(ref["vae"]).keys(),
+            dtype,
+        ),
+        "text": convert(find("text_encoder"), clip_text_name_map(engine.text_config.num_layers),
+                        flatten(ref["text"]).keys(), dtype),
+    }
+    return out
+
+
+# --------------------------------------------------------------- orbax cache
+def save_params(params: dict, path: str | Path) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(Path(path).absolute(), params)
+
+
+def load_params(path: str | Path) -> dict:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(Path(path).absolute())

@@ -1,0 +1,68 @@
+"""Attention dispatch: XLA fused attention by default, Pallas flash kernel
+on TPU behind a flag.
+
+This is the hot op of the UNet (self-attention over 4096/1024/256-token
+latent grids + 77-token cross-attention; ~the FLOPs the reference spends in
+torch CUDA attention via diffusers, src/models.py:227-235).  The interface
+is fixed here so the backend can change without touching model code.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_BACKEND = None  # None = auto
+
+
+def set_attention_backend(name: Optional[str]) -> None:
+    """'xla' | 'pallas' | None (auto: pallas on TPU when shapes allow)."""
+    global _BACKEND
+    if name not in (None, "xla", "pallas"):
+        raise ValueError(f"unknown attention backend {name!r}")
+    _BACKEND = name
+
+
+def get_attention_backend() -> Optional[str]:
+    env = os.environ.get("SDBL_ATTENTION", "").strip().lower() or None
+    return _BACKEND if _BACKEND is not None else env
+
+
+def _xla_attention(q, k, v, mask=None):
+    """[B, N, H, D] x [B, M, H, D] -> [B, N, H, D], fp32 softmax."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+
+
+def dot_product_attention(q, k, v, mask=None):
+    """Heads-separate attention: q [B, N, H, D], k/v [B, M, H, D].
+
+    Backend resolution order: explicit set_attention_backend / SDBL_ATTENTION
+    env; else Pallas flash on TPU for self-attention-sized inputs, XLA
+    otherwise.
+    """
+    backend = get_attention_backend()
+    if backend == "pallas" or (
+        backend is None and jax.default_backend() == "tpu" and mask is None and _flash_ok(q, k)
+    ):
+        try:
+            from sonicdiffusionbayeslab_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(q, k, v)
+        except NotImplementedError:
+            pass
+    return _xla_attention(q, k, v, mask=mask)
+
+
+def _flash_ok(q, k) -> bool:
+    # The Pallas kernel wants lane-aligned head_dim and enough rows to tile.
+    return q.shape[-1] % 128 == 0 and q.shape[1] >= 128 and k.shape[1] >= 128

@@ -1,0 +1,182 @@
+"""Tiny-model integration tests (SURVEY §4): random-weight 2-level UNet,
+CPU backend — shapes, determinism, cache-path consistency, E2E sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonicdiffusionbayeslab_tpu.models import (
+    CachePlan,
+    CLIPTextConfig,
+    CLIPTextModel,
+    StableDiffusionEngine,
+    UNet2DCondition,
+    UNetConfig,
+    VAEConfig,
+)
+from sonicdiffusionbayeslab_tpu.models.tokenizer import HashTokenizer, load_tokenizer
+from sonicdiffusionbayeslab_tpu.schedulers import DPMSolverScheduler
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return StableDiffusionEngine(
+        UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny(),
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def params(engine):
+    return engine.init_params(seed=0, latent_hw=8)
+
+
+def test_unet_forward_shapes(engine, params):
+    x = jnp.ones((2, 8, 8, 4))
+    t = jnp.array([901, 901])
+    ctx = jnp.ones((2, 77, 32))
+    out = engine.unet.apply({"params": params["unet"]}, x, t, ctx)
+    assert out.shape == (2, 8, 8, 4)
+    assert out.dtype == jnp.float32
+
+
+def test_unet_cached_matches_full(engine, params):
+    """Shallow-branch-with-injected-cache must reproduce the full pass when
+    given the full pass's own deep features (static-structure DeepCache)."""
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 4)), jnp.float32)
+    t = jnp.array([501, 501])
+    ctx = jnp.asarray(np.random.default_rng(1).standard_normal((2, 77, 32)), jnp.float32)
+    full, deep = engine.unet.apply({"params": params["unet"]}, x, t, ctx, return_cache=True)
+    assert deep.shape == (2,) + engine.unet.cache_shape(8, 8)
+    cached = engine.unet.apply({"params": params["unet"]}, x, t, ctx, cache=deep)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full), rtol=1e-5, atol=1e-5)
+
+
+def test_vae_roundtrip_shapes(engine, params):
+    z = jnp.ones((2, 8, 8, 4))
+    img = engine.vae.apply({"params": params["vae"]}, z, method=engine.vae.decode)
+    assert img.shape == (2, 16, 16, 3)  # tiny VAE: 2 levels -> 2x upsample
+    mean, logvar = engine.vae.apply({"params": params["vae"]}, img, method=engine.vae.encode)
+    assert mean.shape == (2, 8, 8, 4) and logvar.shape == (2, 8, 8, 4)
+
+
+def test_clip_text_causal(engine, params):
+    ids = np.full((1, 77), 7, np.int32)
+    ids2 = ids.copy()
+    ids2[0, 50] = 9  # change a late token
+    h1 = engine.text.apply({"params": params["text"]}, jnp.asarray(ids))["last_hidden_state"]
+    h2 = engine.text.apply({"params": params["text"]}, jnp.asarray(ids2))["last_hidden_state"]
+    np.testing.assert_allclose(h1[0, :50], h2[0, :50], atol=1e-6)  # earlier unaffected
+    assert np.abs(np.asarray(h1[0, 50:]) - np.asarray(h2[0, 50:])).max() > 1e-4
+
+
+def test_hash_tokenizer_contract():
+    tok = HashTokenizer(vocab_size=1000, max_length=77)
+    ids = tok(["a man on a snowboard", "a man on a snowboard"])
+    assert ids.shape == (2, 77) and (ids[0] == ids[1]).all()
+    assert ids[0, 0] == 998 and ids[0, -1] == 999  # BOS / EOS-pad
+    assert (tok(["hello"])[0] != tok(["world"])[0]).any()
+
+
+def test_bpe_tokenizer_with_synthetic_vocab(tmp_path):
+    import json
+
+    # Minimal byte-level vocab: all byte symbols + a merge of "ab" -> "ab</w>".
+    from sonicdiffusionbayeslab_tpu.models.tokenizer import _bytes_to_unicode
+
+    symbols = list(_bytes_to_unicode().values())
+    vocab = {s: i for i, s in enumerate(symbols)}
+    vocab.update({s + "</w>": len(vocab) + i for i, s in enumerate(symbols)})
+    vocab["ab</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\na b</w>\n")
+    tok = load_tokenizer(str(tmp_path))
+    ids = tok(["ab a"])
+    assert ids[0, 0] == vocab["<|startoftext|>"]
+    assert ids[0, 1] == vocab["ab</w>"]  # merge applied
+    assert ids[0, 2] == vocab["a</w>"]
+    assert ids[0, 3] == vocab["<|endoftext|>"]
+
+
+def test_load_tokenizer_falls_back():
+    tok = load_tokenizer(None)
+    assert isinstance(tok, HashTokenizer)
+
+
+def test_sample_end_to_end(engine, params):
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    plan = DPMSolverScheduler(solver_order=2).build_plan(4)
+    embeds = engine.encode_prompts(params, tok(["a cat", "a dog"]))
+    neg = engine.encode_prompts(params, tok(["", ""]))
+    key = jax.random.PRNGKey(29)
+    out = engine.sample(
+        params, plan, embeds, neg, key,
+        guidance_scale=7.5, latent_hw=(8, 8), collect_x0=True,
+    )
+    assert out.images.shape == (2, 16, 16, 3)
+    assert out.x0_images.shape == (4, 16, 16, 3)  # per-step x0 of sample 0
+    assert out.nfe == 4
+    assert float(jnp.min(out.images)) >= 0.0 and float(jnp.max(out.images)) <= 1.0
+    assert out.execution_time > 0
+
+    # Determinism: same key -> identical images.
+    out2 = engine.sample(
+        params, plan, embeds, neg, key,
+        guidance_scale=7.5, latent_hw=(8, 8), collect_x0=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out.images), np.asarray(out2.images))
+
+
+def test_sample_batch_invariant_latents(engine, params):
+    """Sample i's result depends only on its global index, not batch layout."""
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    plan = DPMSolverScheduler(solver_order=1).build_plan(2)
+    key = jax.random.PRNGKey(29)
+    e3 = engine.encode_prompts(params, tok(["a", "b", "c"]))
+    n3 = engine.encode_prompts(params, tok(["", "", ""]))
+    big = engine.sample(params, plan, e3, n3, key, sample_indices=np.array([0, 1, 2]),
+                        latent_hw=(8, 8))
+    small = engine.sample(params, plan, e3[2:], n3[2:], key, sample_indices=np.array([2]),
+                          latent_hw=(8, 8))
+    np.testing.assert_allclose(
+        np.asarray(big.images[2]), np.asarray(small.images[0]), atol=1e-5
+    )
+
+
+def test_sample_with_deepcache(engine, params):
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    plan = DPMSolverScheduler(solver_order=2).build_plan(6)
+    embeds = engine.encode_prompts(params, tok(["a cat"]))
+    neg = engine.encode_prompts(params, tok([""]))
+    key = jax.random.PRNGKey(1)
+    kw = dict(latent_hw=(8, 8))
+    full = engine.sample(params, plan, embeds, neg, key, **kw)
+    cached = engine.sample(
+        params, plan, embeds, neg, key, cache_plan=CachePlan.every(6, 2), **kw
+    )
+    assert np.isfinite(np.asarray(cached.images)).all()
+    # Cache interval 1 == full computation exactly.
+    interval1 = engine.sample(
+        params, plan, embeds, neg, key, cache_plan=CachePlan.every(6, 1), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(interval1.images), np.asarray(full.images), atol=1e-5
+    )
+    # And a genuinely cached run differs from full (it's an approximation).
+    assert np.abs(np.asarray(cached.images) - np.asarray(full.images)).max() > 1e-6
+
+
+def test_cache_plan_validation(engine, params):
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    plan = DPMSolverScheduler().build_plan(4)
+    embeds = engine.encode_prompts(params, tok(["x"]))
+    with pytest.raises(ValueError, match="length"):
+        engine.sample(params, plan, embeds, None, jax.random.PRNGKey(0),
+                      cache_plan=CachePlan.every(5, 2), latent_hw=(8, 8))
+    bad = CachePlan(full=np.array([False, True, True, True]))
+    with pytest.raises(ValueError, match="first step"):
+        engine.sample(params, plan, embeds, None, jax.random.PRNGKey(0),
+                      cache_plan=bad, latent_hw=(8, 8))
