@@ -1,0 +1,78 @@
+"""Flagship benchmark: SD-1.5 512x512 @ 20-step DPM-Solver++ (the
+BASELINE.json hero config) on the available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the north-star target of 2000 images/hour/chip (BASELINE.md).
+Timing follows the reference protocol — denoise-loop wall clock only,
+excluding text encode and VAE decode (reference src/models.py:208,284-285).
+
+Weights are deterministic random (no hub access in this environment): the
+compute graph, shapes and dtypes are exactly the SD-1.5 ones, which is what
+throughput depends on.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    quick = "--quick" in sys.argv
+    on_tpu = jax.default_backend() == "tpu"
+
+    from sonicdiffusionbayeslab_tpu.models import (
+        CLIPTextConfig,
+        StableDiffusionEngine,
+        UNetConfig,
+        VAEConfig,
+    )
+    from sonicdiffusionbayeslab_tpu.models.tokenizer import HashTokenizer
+    from sonicdiffusionbayeslab_tpu.schedulers import DPMSolverScheduler
+
+    if on_tpu and not quick:
+        unet_cfg, vae_cfg, text_cfg = UNetConfig.sd15(), VAEConfig.sd15(), CLIPTextConfig.sd15()
+        latent_hw, batch = 64, int(os.environ.get("SDBL_BENCH_BATCH", "8"))
+        tag = "SD-1.5 512px"
+    else:  # CPU smoke fallback — geometry scaled down, still the same graph.
+        unet_cfg, vae_cfg, text_cfg = UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny()
+        latent_hw, batch = 8, 2
+        tag = "tiny (non-TPU fallback)"
+
+    engine = StableDiffusionEngine(unet_cfg, vae_cfg, text_cfg,
+                                   dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    params = engine.init_params(seed=0, latent_hw=latent_hw)
+    tok = HashTokenizer(vocab_size=text_cfg.vocab_size, max_length=text_cfg.max_length)
+    prompts = ["a man on a snowboard coming down a slope"] * batch
+    embeds = engine.encode_prompts(params, tok(prompts))
+    neg = engine.encode_prompts(params, tok([""] * batch))
+
+    plan = DPMSolverScheduler(solver_order=2).build_plan(20)
+    key = jax.random.PRNGKey(29)
+    kw = dict(latent_hw=(latent_hw, latent_hw), guidance_scale=7.5, decode=False)
+
+    # Warm-up / compile.
+    engine.sample(params, plan, embeds, neg, key, **kw)
+
+    reps = 1 if (quick or not on_tpu) else 3
+    times = []
+    for r in range(reps):
+        out = engine.sample(params, plan, embeds, neg, jax.random.fold_in(key, r), **kw)
+        times.append(out.execution_time)
+    sec_per_image = min(times) / batch
+    images_per_hour = 3600.0 / sec_per_image
+
+    print(json.dumps({
+        "metric": f"images/hour/chip {tag} @20-step DPM-Solver++ (loop-only, batch {batch})",
+        "value": round(images_per_hour, 1),
+        "unit": "images/hour/chip",
+        "vs_baseline": round(images_per_hour / 2000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

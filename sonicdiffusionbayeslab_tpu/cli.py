@@ -1,0 +1,40 @@
+"""Experiment CLI (parity: reference main.py:10-24).
+
+    sdbl --config dpm_solver_config.yaml
+    python -m sonicdiffusionbayeslab_tpu.cli --config configs/smoke.yaml
+
+Loads the YAML (bare names resolve under ./configs), seeds RNG, instantiates
+the registered method, runs the sweep.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from sonicdiffusionbayeslab_tpu.config import load_config
+from sonicdiffusionbayeslab_tpu.registry import load_all_plugins, methods_registry
+from sonicdiffusionbayeslab_tpu.utils.rng import setup_seed
+
+
+def run(config_path: str):
+    load_all_plugins()
+    config = load_config(config_path)
+    setup_seed(config.experiment.get("seed", 29))
+    method = methods_registry[config.experiment.method](config)
+    metrics = method.run_experiment()
+    print(f"run dir: {method.logger.local.dir}")
+    for k, v in metrics.items():
+        print(f"{k}: {v}")
+    return metrics
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="SonicDiffusionBayesLab-TPU experiment runner")
+    parser.add_argument("--config", "--config_file", dest="config", required=True,
+                        help="YAML config path (bare names resolve under ./configs)")
+    args = parser.parse_args()
+    run(args.config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,217 @@
+"""Metric implementations (reference surface: src/metrics/metrics.py:25-131)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonicdiffusionbayeslab_tpu.metrics.frechet import StreamingMoments, frechet_distance
+from sonicdiffusionbayeslab_tpu.registry import metrics_registry
+
+
+class Metric:
+    """update()/compute()/reset() protocol (torchmetrics-style)."""
+
+    def update(self, *a, **k):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def compute(self):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def reset(self):  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+@metrics_registry.add_to_registry("time_metric")
+class TimeMetric(Metric):
+    """sec/image = sum(denoise-loop seconds) / sum(batch sizes).
+
+    Exact reference semantics (metrics.py:115-131 fed from
+    base_experiment.py:161): update(inference_time, batch_size).
+    """
+
+    def __init__(self):
+        self.reset()
+
+    def update(self, inference_time: float, batch_size: int) -> None:
+        self.time_sum += float(inference_time)
+        self.images += int(batch_size)
+
+    def compute(self) -> float:
+        return self.time_sum / max(self.images, 1)
+
+    def reset(self) -> None:
+        self.time_sum = 0.0
+        self.images = 0
+
+
+class _ClipBackend:
+    """Shared CLIP dual-encoder + jitted scoring fns (lazy singleton per
+    (config, checkpoint) so clip_score / fid / image_reward reuse it)."""
+
+    def __init__(self, model_name_or_path: Optional[str] = None, tiny: bool = False):
+        import jax
+
+        from sonicdiffusionbayeslab_tpu.models.clip_text import CLIPTextConfig
+        from sonicdiffusionbayeslab_tpu.models.clip_vision import (
+            CLIP_B16_TEXT,
+            CLIPDualEncoder,
+            CLIPVisionConfig,
+        )
+        from sonicdiffusionbayeslab_tpu.models.tokenizer import load_tokenizer
+
+        if tiny:
+            vcfg = CLIPVisionConfig.tiny()
+            tcfg = CLIPTextConfig.tiny()
+            proj = 16
+        else:
+            vcfg, tcfg, proj = CLIPVisionConfig(), CLIP_B16_TEXT, 512
+        self.model = CLIPDualEncoder(vcfg, tcfg, projection_dim=proj)
+        self.tokenizer = load_tokenizer(model_name_or_path, tcfg.vocab_size, tcfg.max_length)
+        px = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+        ids = jnp.zeros((1, tcfg.max_length), jnp.int32)
+        self.params = self.model.init(jax.random.PRNGKey(0), px, ids)["params"]
+        if model_name_or_path:
+            self._try_load(model_name_or_path)
+
+        self.score_fn = jax.jit(
+            lambda p, px, ids: self.model.apply({"params": p}, px, ids)
+        )
+        self.embed_image_fn = jax.jit(
+            lambda p, px: self.model.apply({"params": p}, px, method=self.model.embed_image)
+        )
+
+    def _try_load(self, path: str) -> None:
+        """Load converted CLIP weights from a local snapshot if present."""
+        from pathlib import Path
+
+        p = Path(path)
+        if not p.exists():
+            return  # hub model-id string with no local snapshot: keep random init
+        # Full HF CLIPModel conversion lands with the weight-converter
+        # extension; orbax-format params are supported today.
+        ckpt = p / "flax_params"
+        if ckpt.exists():
+            from sonicdiffusionbayeslab_tpu.models.weights import load_params
+
+            self.params = load_params(ckpt)
+
+    def scores(self, images: np.ndarray, prompts: Sequence[str]) -> np.ndarray:
+        ids = self.tokenizer(list(prompts))
+        return np.asarray(self.score_fn(self.params, jnp.asarray(images), jnp.asarray(ids)))
+
+    def image_features(self, images: np.ndarray) -> np.ndarray:
+        return np.asarray(self.embed_image_fn(self.params, jnp.asarray(images)))
+
+
+@functools.lru_cache(maxsize=4)
+def _clip_backend(model_name_or_path: Optional[str], tiny: bool) -> _ClipBackend:
+    return _ClipBackend(model_name_or_path, tiny)
+
+
+@metrics_registry.add_to_registry("clip_score")
+class ClipScoreMetric(Metric):
+    """Mean CLIP score over (image, prompt) pairs (reference metrics.py:25-41)."""
+
+    def __init__(self, model_name_or_path: str = "openai/clip-vit-base-patch16", tiny: bool = False):
+        self.backend = _clip_backend(model_name_or_path, tiny)
+        self.reset()
+
+    def update(self, images: np.ndarray, prompts: Sequence[str]) -> None:
+        """images: [N, H, W, 3] float in [0, 1]."""
+        s = self.backend.scores(images, prompts)
+        self.score_sum += float(s.sum())
+        self.n += len(s)
+
+    # Reference helper name (metrics.py calc_metric): batch convenience.
+    def calc_metric(self, images, prompts) -> float:
+        self.update(images, prompts)
+        return self.compute()
+
+    def compute(self) -> float:
+        return self.score_sum / max(self.n, 1)
+
+    def reset(self) -> None:
+        self.score_sum = 0.0
+        self.n = 0
+
+
+@metrics_registry.add_to_registry("image_reward")
+class RewardModel(Metric):
+    """Win-rate of generated vs real image under a reward scorer.
+
+    Reference contract (metrics.py:62-95): for each (prompt, real, gen)
+    triple score both images; win = 1 if gen >= real; compute = mean.  The
+    reference's scorer is ImageReward-v1.0 (BLIP); offline default here is
+    CLIP text-image similarity (documented divergence until the BLIP port).
+    """
+
+    def __init__(
+        self,
+        model_name: str = "ImageReward-v1.0",
+        scorer: Optional[Callable[[np.ndarray, Sequence[str]], np.ndarray]] = None,
+        tiny: bool = False,
+    ):
+        self.model_name = model_name
+        self._scorer = scorer or (lambda imgs, prompts: _clip_backend(None, tiny).scores(imgs, prompts))
+        self.reset()
+
+    def update(self, prompts: Sequence[str], real: np.ndarray, gen: np.ndarray) -> None:
+        s_real = self._scorer(real, prompts)
+        s_gen = self._scorer(gen, prompts)
+        self.wins += int(np.sum(s_gen >= s_real))
+        self.n += len(prompts)
+
+    def compute(self) -> float:
+        return self.wins / max(self.n, 1)
+
+    def reset(self) -> None:
+        self.wins = 0
+        self.n = 0
+
+
+@metrics_registry.add_to_registry("fid")
+class FID(Metric):
+    """Fréchet distance between real/generated feature Gaussians.
+
+    Protocol parity with torchmetrics FID as configured by the reference
+    (feature=64, metrics.py:98-112; configs e.g. ddim_config.yaml:19-22):
+    two streaming moment accumulators + Fréchet math (metrics/frechet.py).
+    Feature extractor: CLIP image embeddings projected to ``feature`` dims
+    with a fixed random projection (InceptionV3 port = planned follow-up;
+    divergence documented).
+    """
+
+    def __init__(self, feature: int = 64, input_img_size: int = 512, normalize: bool = False, tiny: bool = False):
+        self.feature = int(feature)
+        self.input_img_size = input_img_size
+        self.normalize = normalize
+        self.backend = _clip_backend(None, tiny)
+        self._proj: Optional[np.ndarray] = None
+        self.real = StreamingMoments(self.feature)
+        self.fake = StreamingMoments(self.feature)
+
+    def _features(self, images: np.ndarray) -> np.ndarray:
+        f = self.backend.image_features(images)
+        if f.shape[1] != self.feature:
+            if self._proj is None or self._proj.shape != (f.shape[1], self.feature):
+                rng = np.random.default_rng(0)  # fixed: comparable across runs
+                self._proj = rng.standard_normal((f.shape[1], self.feature)) / np.sqrt(f.shape[1])
+            f = f @ self._proj
+        return f
+
+    def update(self, images: np.ndarray, real: bool) -> None:
+        (self.real if real else self.fake).update(self._features(images))
+
+    def compute(self) -> float:
+        mu1, c1 = self.real.mean_cov()
+        mu2, c2 = self.fake.mean_cov()
+        return frechet_distance(mu1, c1, mu2, c2)
+
+    def reset(self) -> None:
+        self.real.reset()
+        self.fake.reset()

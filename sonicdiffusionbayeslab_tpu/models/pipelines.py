@@ -1,0 +1,198 @@
+"""Registered pipelines (models registry, parity names: reference
+src/models.py:21, 338, 733, 1138).
+
+Where the reference has four near-duplicate ~350-line torch pipelines, the
+TPU rebuild has ONE engine (models/sampler.py) and four thin classes that
+differ only in how they compose the :class:`SamplePlan`.  Call contract is
+kept: ``pipe(prompts, ...) -> (output, execution_time, x0_images)`` with
+loop-only timing (src/models.py:329-335).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonicdiffusionbayeslab_tpu.models.clip_text import CLIPTextConfig
+from sonicdiffusionbayeslab_tpu.models.sampler import CachePlan, StableDiffusionEngine
+from sonicdiffusionbayeslab_tpu.models.tokenizer import load_tokenizer
+from sonicdiffusionbayeslab_tpu.models.unet import UNetConfig
+from sonicdiffusionbayeslab_tpu.models.vae import VAEConfig
+from sonicdiffusionbayeslab_tpu.registry import models_registry
+from sonicdiffusionbayeslab_tpu.schedulers import plans as plan_composers
+
+
+@models_registry.add_to_registry("stable_diffusion_model")
+class StableDiffusionModel:
+    """Single-scheduler text->image pipeline (reference models.py:21-335)."""
+
+    def __init__(
+        self,
+        pretrained_model: str = "runwayml/stable-diffusion-v1-5",
+        image_size: int = 512,
+        tiny: bool = False,
+        dtype: str = "bfloat16",
+        seed: int = 0,
+        lora: str = None,  # consumed by ConsistencyModelMethod.setup_model
+    ):
+        self.lora = lora
+        self.pretrained_model = pretrained_model
+        self.image_size = int(image_size)
+        self.tiny = bool(tiny)
+        dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        if tiny:
+            self.engine = StableDiffusionEngine(
+                UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny(),
+                dtype=dt, param_dtype=dt,
+            )
+        else:
+            self.engine = StableDiffusionEngine(dtype=dt, param_dtype=dt)
+        self.latent_hw = self.image_size // 8 if not tiny else 8
+        self.params = self._load_params(pretrained_model, seed)
+        tok_dir = Path(pretrained_model) / "tokenizer" if Path(pretrained_model).exists() else None
+        self.tokenizer = load_tokenizer(
+            str(tok_dir) if tok_dir else None,
+            self.engine.text_config.vocab_size,
+            self.engine.text_config.max_length,
+        )
+        self.scheduler = None  # a plan builder, assigned by the experiment
+        self.num_timesteps = 0  # NFE of the last call (reference attribute)
+        self.cache_plan_fn = None  # DeepCache hook (set by DeepCacheMethod)
+        self.guidance_rescale = 0.0
+        self._embed_cache: Dict[str, np.ndarray] = {}
+
+    def _load_params(self, pretrained_model: str, seed: int) -> Dict[str, Any]:
+        p = Path(pretrained_model)
+        if p.exists():
+            flax_ckpt = p / "flax_params"
+            if flax_ckpt.exists():
+                from sonicdiffusionbayeslab_tpu.models.weights import load_params
+
+                return load_params(flax_ckpt)
+            from sonicdiffusionbayeslab_tpu.models.weights import load_sd_checkpoint
+
+            return load_sd_checkpoint(p, self.engine)
+        # No local snapshot (offline environment): deterministic random init.
+        return self.engine.init_params(seed=seed, latent_hw=self.latent_hw)
+
+    @classmethod
+    def from_pretrained(cls, pretrained_model: str, **kw):
+        return cls(pretrained_model=pretrained_model, **kw)
+
+    # ------------------------------------------------------------- plans
+    def build_plan(self, num_inference_steps: int, **call_kw):
+        if self.scheduler is None:
+            raise RuntimeError("no scheduler assigned; experiment must call setup_scheduler")
+        return self.scheduler.build_plan(num_inference_steps)
+
+    # -------------------------------------------------------------- call
+    def __call__(
+        self,
+        prompt: Sequence[str],
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        key: Optional[jax.Array] = None,
+        sample_indices: Optional[np.ndarray] = None,
+        negative_prompt: Optional[Sequence[str]] = None,
+        use_x0: bool = False,
+        output_type: str = "np",
+        **plan_kw,
+    ):
+        """Returns (images [B,H,W,3] in [0,1], execution_time, x0_images)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        plan = self.build_plan(num_inference_steps, **plan_kw)
+        self.num_timesteps = plan.nfe
+
+        embeds = self._encode(list(prompt))
+        neg = None
+        if guidance_scale > 1.0:
+            neg = self._encode(list(negative_prompt) if negative_prompt else [""] * len(prompt))
+
+        cache_plan = self.cache_plan_fn(plan.num_steps) if self.cache_plan_fn else None
+        out = self.engine.sample(
+            self.params,
+            plan,
+            embeds,
+            neg,
+            key,
+            sample_indices=sample_indices,
+            guidance_scale=guidance_scale,
+            guidance_rescale=self.guidance_rescale,
+            cache_plan=cache_plan,
+            latent_hw=(self.latent_hw, self.latent_hw),
+            collect_x0=use_x0,
+            decode=output_type != "latent",
+        )
+        images = np.asarray(out.images) if out.images is not None else np.asarray(out.latents)
+        x0 = np.asarray(out.x0_images) if out.x0_images is not None else None
+        return images, out.execution_time, x0
+
+    def _encode(self, prompts: Sequence[str]) -> jax.Array:
+        ids = self.tokenizer(list(prompts))
+        return self.engine.encode_prompts(self.params, ids)
+
+    # Parity shims for device juggling in the reference sweeps
+    # (e.g. ddim.py:31-33 model.to("cpu")): JAX manages placement; no-ops.
+    def to(self, device: str):
+        return self
+
+    def fuse_lora(self, scale: float = 1.0):  # LCM-LoRA hook (consistency method)
+        return self
+
+    def load_lora_weights(self, path: str):
+        """LoRA fusion requires real weights; with a local snapshot this
+        merges A@B deltas into the UNet tree (follow-up); random-init mode
+        is a no-op so the LCM *sampling* semantics are still exercised."""
+        return self
+
+
+@models_registry.add_to_registry("stable_diffusion_model_two_schedulers")
+class StableDiffusionModelTwoSchedulers(StableDiffusionModel):
+    """Scheduler-switching pipeline (reference models.py:338-730)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.scheduler_first = None
+        self.scheduler_second = None
+
+    def build_plan(self, num_inference_steps, num_inference_steps_second=None,
+                   num_step_switch=1, type_switch="closest", **_):
+        return plan_composers.two_scheduler_plan(
+            self.scheduler_first,
+            self.scheduler_second,
+            num_inference_steps,
+            num_inference_steps_second or num_inference_steps,
+            num_step_switch,
+            type_switch,
+        )
+
+
+@models_registry.add_to_registry("stable_diffusion_model_interliving_schedulers")
+class StableDiffusionModelInterlivingSchedulers(StableDiffusionModel):
+    """Interleaved-scheduler pipeline (reference models.py:733-1135)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.scheduler_main = None
+        self.scheduler_inter = None
+
+    def build_plan(self, num_inference_steps, interliving_steps=(), **_):
+        return plan_composers.interleave_plan(
+            self.scheduler_main, self.scheduler_inter, num_inference_steps, interliving_steps
+        )
+
+
+@models_registry.add_to_registry("stable_diffusion_model_skip_timesteps")
+class StableDiffusionModelSkipTimesteps(StableDiffusionModel):
+    """Step-skipping pipeline (reference models.py:1138-1467)."""
+
+    def build_plan(self, num_inference_steps, skip_timesteps=(), **_):
+        if not skip_timesteps:
+            return self.scheduler.build_plan(num_inference_steps)
+        return plan_composers.skip_plan(self.scheduler, num_inference_steps, skip_timesteps)

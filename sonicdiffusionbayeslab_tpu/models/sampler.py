@@ -270,6 +270,10 @@ class StableDiffusionEngine:
             step_key,
         )
         latents = jax.block_until_ready(latents)
+        # On async remote backends (axon tunnel) block_until_ready can return
+        # before execution completes; a one-element host read is the only
+        # honest sync, so the timed region ends with one.
+        _ = jax.device_get(latents[(0,) * latents.ndim])
         execution_time = time.perf_counter() - t0
 
         images = self.decode_fn(params["vae"], latents) if decode else None

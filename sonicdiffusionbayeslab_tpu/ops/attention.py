@@ -54,15 +54,13 @@ def dot_product_attention(q, k, v, mask=None):
     if backend == "pallas" or (
         backend is None and jax.default_backend() == "tpu" and mask is None and _flash_ok(q, k)
     ):
-        try:
-            from sonicdiffusionbayeslab_tpu.ops.flash_attention import flash_attention
+        from sonicdiffusionbayeslab_tpu.ops.flash_attention import flash_attention
 
-            return flash_attention(q, k, v)
-        except NotImplementedError:
-            pass
+        return flash_attention(q, k, v)
     return _xla_attention(q, k, v, mask=mask)
 
 
 def _flash_ok(q, k) -> bool:
-    # The Pallas kernel wants lane-aligned head_dim and enough rows to tile.
-    return q.shape[-1] % 128 == 0 and q.shape[1] >= 128 and k.shape[1] >= 128
+    # Engage the Pallas kernel where it pays: enough query rows to tile.
+    # (The kernel pads head_dim/KV length itself.)
+    return q.shape[1] >= 256

@@ -1,0 +1,174 @@
+"""Experiment-layer tests: metrics protocol, config surface, and a tiny
+end-to-end sweep through the CLI entry (the reference's whole lifecycle)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from sonicdiffusionbayeslab_tpu.config import load_config
+from sonicdiffusionbayeslab_tpu.metrics import FID, ClipScoreMetric, RewardModel, TimeMetric
+from sonicdiffusionbayeslab_tpu.metrics.frechet import StreamingMoments, frechet_distance
+from sonicdiffusionbayeslab_tpu.registry import (
+    load_all_plugins,
+    methods_registry,
+    models_registry,
+    schedulers_registry,
+)
+
+load_all_plugins()
+
+
+# ------------------------------------------------------------------ metrics
+def test_time_metric_sec_per_image():
+    m = TimeMetric()
+    m.update(2.0, 4)
+    m.update(4.0, 8)
+    assert m.compute() == pytest.approx(0.5)
+    m.reset()
+    assert m.compute() == 0.0
+
+
+def test_frechet_distance_identical_is_zero():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((500, 8))
+    a, b = StreamingMoments(8), StreamingMoments(8)
+    a.update(x)
+    b.update(x)
+    d = frechet_distance(*a.mean_cov(), *b.mean_cov())
+    assert abs(d) < 1e-8
+
+
+def test_frechet_distance_shifted_gaussians():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4000, 4))
+    y = rng.standard_normal((4000, 4)) + 2.0
+    a, b = StreamingMoments(4), StreamingMoments(4)
+    a.update(x)
+    b.update(y)
+    # Analytic: |mu diff|^2 = 4 * 4 = 16 (covariances ~equal)
+    assert frechet_distance(*a.mean_cov(), *b.mean_cov()) == pytest.approx(16.0, rel=0.1)
+
+
+def test_fid_metric_protocol():
+    m = FID(feature=8, tiny=True)
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    m.update(imgs, real=True)
+    m.update(imgs + 0.1, real=False)
+    m.update(imgs, real=True)
+    m.update(imgs + 0.1, real=False)
+    d_diff = m.compute()
+    m.reset()
+    m.update(imgs, real=True)
+    m.update(imgs, real=False)
+    m.update(imgs, real=True)
+    m.update(imgs, real=False)
+    assert m.compute() < d_diff  # identical sets closer than shifted ones
+
+
+def test_clip_score_and_reward_tiny():
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    prompts = ["a cat", "a dog", "a car", "a tree"]
+    cs = ClipScoreMetric(tiny=True)
+    cs.update(imgs, prompts)
+    assert 0.0 <= cs.compute() <= 100.0
+    rm = RewardModel(tiny=True)
+    rm.update(prompts, imgs, imgs)  # identical: gen >= real everywhere
+    assert rm.compute() == 1.0
+
+
+# ------------------------------------------------------------------ configs
+ALL_CONFIGS = sorted(Path("configs").glob("*.yaml"))
+
+
+@pytest.mark.parametrize("path", ALL_CONFIGS, ids=[p.stem for p in ALL_CONFIGS])
+def test_shipped_configs_resolve(path):
+    cfg = load_config(path)
+    assert cfg.experiment.method in methods_registry
+    assert cfg.model.model_name in models_registry
+    scfg = cfg.get("scheduler")
+    if scfg:
+        for key in ("scheduler_name", "scheduler_first", "scheduler_second",
+                    "scheduler_main", "scheduler_inter"):
+            name = scfg.get(key)
+            if name:
+                assert name in schedulers_registry, name
+
+
+# ---------------------------------------------------------------- e2e sweep
+def _smoke_config(tmp_path, method, model, extra_params, scheduler=None, extra_model=None):
+    cfg = {
+        "experiment_name": "t",
+        "experiment": {"method": method, "seed": 29},
+        "model": {"model_name": model, "pretrained_model": "x", "tiny": True,
+                  "image_size": 64, **(extra_model or {})},
+        "dataset": {"prompts": "data/dataset/prompts_sample.json", "image_size": 64},
+        "quality_metrics": {"clip_score": {"model_name_or_path": "none"}},
+        "logger": {"wandb_enable": False, "log_images_step": 1, "save": False},
+        "inference": {"batch_size": 4, "batch_count": 1},
+        "experiment_params": extra_params,
+    }
+    if scheduler:
+        cfg["scheduler"] = scheduler
+    import yaml
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return p
+
+
+@pytest.mark.parametrize(
+    "method,model,scheduler,params",
+    [
+        ("dpm_solver", "stable_diffusion_model",
+         {"scheduler_name": "dpm_solver_scheduler"},
+         {"solver_order": 2, "num_inference_steps": [3]}),
+        ("two_schedulers", "stable_diffusion_model_two_schedulers",
+         {"scheduler_first": "ddim_scheduler", "scheduler_second": "dpm_solver_scheduler"},
+         {"solver_order": 2, "type_switch": "closest",
+          "num_inference_steps_first": [6], "num_inference_steps_second": [6],
+          "num_step_switch": [2]}),
+        ("skip_steps", "stable_diffusion_model_skip_timesteps",
+         {"scheduler_name": "dpm_solver_scheduler"},
+         {"solver_order": 2, "num_inference_steps": [6], "skip_steps": [[2]]}),
+        ("deep_cache", "stable_diffusion_model",
+         {"scheduler_name": "ddim_scheduler"},
+         {"cache_interval": [2], "num_inference_steps": [4]}),
+        ("consistency_model", "stable_diffusion_model",
+         {"scheduler_name": "lcm_scheduler"},
+         {"guidance_scale": 0.0, "num_inference_steps": [2]}),
+        ("interliving_schedulers", "stable_diffusion_model_interliving_schedulers",
+         {"scheduler_main": "dpm_solver_scheduler", "scheduler_inter": "dpm_solver_scheduler"},
+         {"solver_order": 2, "num_inference_steps": [8], "interliving_steps": [[1]]}),
+    ],
+    ids=["dpm", "two_sched", "skip", "deepcache", "lcm", "interleave"],
+)
+def test_method_end_to_end(tmp_path, monkeypatch, method, model, scheduler, params):
+    monkeypatch.chdir(Path(__file__).parent.parent)
+    cfgp = _smoke_config(tmp_path, method, model, params, scheduler)
+    from sonicdiffusionbayeslab_tpu.cli import run
+
+    metrics = run(str(cfgp))
+    assert len(metrics["nfe"]) == 1
+    assert metrics["time"][0] > 0
+    assert "clip_score" in metrics
+
+
+def test_sweep_resume(tmp_path, monkeypatch):
+    """Interrupted sweeps resume at the next grid point (sweep_state.json)."""
+    monkeypatch.chdir(Path(__file__).parent.parent)
+    cfgp = _smoke_config(
+        tmp_path, "ddim", "stable_diffusion_model",
+        {"num_inference_steps": [2, 3]}, {"scheduler_name": "ddim_scheduler"},
+    )
+    from sonicdiffusionbayeslab_tpu.config import load_config as lc
+    from sonicdiffusionbayeslab_tpu.registry import methods_registry as mr
+
+    m = mr["ddim"](lc(str(cfgp)))
+    state = m.logger.local.dir / "sweep_state.json"
+    state.write_text(json.dumps({"done": ["steps_2"]}))
+    metrics = m.run_experiment()
+    assert metrics["exp"] == ["steps_3"]  # steps_2 skipped as already done

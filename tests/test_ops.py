@@ -1,0 +1,53 @@
+"""Pallas kernel correctness (interpret mode on CPU) + backend dispatch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonicdiffusionbayeslab_tpu.ops.attention import (
+    _xla_attention,
+    dot_product_attention,
+    set_attention_backend,
+)
+from sonicdiffusionbayeslab_tpu.ops.flash_attention import flash_attention
+
+
+def rand(shape, seed):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape), jnp.float32)
+
+
+@pytest.mark.parametrize(
+    "B,N,M,H,D",
+    [
+        (1, 256, 256, 2, 40),   # SD self-attn head_dim 40 (padded to 128)
+        (2, 300, 77, 2, 64),    # cross-attn: ragged N, short KV
+        (1, 512, 512, 1, 128),  # lane-aligned
+    ],
+)
+def test_flash_attention_matches_xla(B, N, M, H, D):
+    q, k, v = rand((B, N, H, D), 0), rand((B, M, H, D), 1), rand((B, M, H, D), 2)
+    got = flash_attention(q, k, v, interpret=True)
+    want = _xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_softmax_stability():
+    # Large logits must not overflow (fp32 max-subtraction path).
+    q = 50.0 * rand((1, 256, 1, 128), 3)
+    k = 50.0 * rand((1, 256, 1, 128), 4)
+    v = rand((1, 256, 1, 128), 5)
+    out = flash_attention(q, k, v, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_backend_dispatch_explicit():
+    q, k, v = rand((1, 8, 1, 16), 0), rand((1, 8, 1, 16), 1), rand((1, 8, 1, 16), 2)
+    set_attention_backend("xla")
+    try:
+        out = dot_product_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(_xla_attention(q, k, v)))
+        with pytest.raises(ValueError):
+            set_attention_backend("bogus")
+    finally:
+        set_attention_backend(None)
