@@ -50,30 +50,60 @@ class TimestepEmbedMLP(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with fp32 statistics regardless of compute dtype."""
+    """GroupNorm with fp32 statistics regardless of compute dtype.
+
+    Backends: XLA (default; jnp reduction XLA fuses with the following
+    activation/conv) or the fused Pallas kernel (``SDBL_GROUPNORM=pallas``,
+    ops/groupnorm.py) when on TPU and the spatial extent tiles evenly.
+    Optionally fuses the SiLU that always follows it in resnet blocks.
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    silu: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         import math
+        import os
 
         channels = x.shape[-1]
         groups = self.num_groups if channels % self.num_groups == 0 else math.gcd(
             channels, self.num_groups
         )
+        scale = self.param("scale", nn.initializers.ones, (channels,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (channels,), self.param_dtype)
+
+        use_pallas = (
+            os.environ.get("SDBL_GROUPNORM", "") == "pallas"
+            and jax.default_backend() == "tpu"
+            and x.ndim == 4
+        )
+        if use_pallas:
+            n = x.shape[1] * x.shape[2]
+            block = 512 if n % 512 == 0 else (n if n <= 4096 else 0)
+            if block:
+                from sonicdiffusionbayeslab_tpu.ops.groupnorm import group_norm_silu
+
+                return group_norm_silu(
+                    x, scale, bias, groups=groups, eps=self.epsilon,
+                    silu=self.silu, block_rows=block,
+                )
+
         orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        x = nn.GroupNorm(
-            num_groups=groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=self.param_dtype,
-        )(x)
-        return x.astype(orig_dtype)
+        xf = x.astype(jnp.float32)
+        shape = xf.shape
+        xg = xf.reshape(shape[:-1] + (groups, channels // groups))
+        red_axes = tuple(range(1, xf.ndim - 1)) + (xf.ndim,)
+        mean = jnp.mean(xg, axis=red_axes, keepdims=True)
+        var = jnp.mean((xg - mean) ** 2, axis=red_axes, keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        out = xg.reshape(shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        if self.silu:
+            out = nn.silu(out)
+        return out.astype(orig_dtype)
 
 
 class ResnetBlock(nn.Module):
@@ -88,16 +118,14 @@ class ResnetBlock(nn.Module):
         conv = lambda name: nn.Conv(  # noqa: E731
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
-        h = GroupNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(silu=True, dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
         h = conv("conv1")(h)
         if t_emb is not None:
             t = nn.Dense(
                 self.out_channels, dtype=self.dtype, param_dtype=self.param_dtype, name="time_emb_proj"
             )(nn.silu(t_emb))
             h = h + t[:, None, None, :]
-        h = GroupNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(silu=True, dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(h)
         h = conv("conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(

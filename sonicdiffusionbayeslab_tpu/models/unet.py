@@ -157,8 +157,7 @@ class UNet2DCondition(nn.Module):
             if cfg.cross_attention[0]:
                 h = xfmr(ch, f"up_0_attn_{j}")(h, ctx)
 
-        h = GroupNorm(name="conv_norm_out", **kw)(h)
-        h = nn.silu(h)
+        h = GroupNorm(silu=True, name="conv_norm_out", **kw)(h)
         out = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **kw)(h)
         out = out.astype(jnp.float32)
         if return_cache:

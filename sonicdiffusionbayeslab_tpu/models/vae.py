@@ -63,8 +63,7 @@ class Decoder(nn.Module):
                 h = ResnetBlock(ch, name=f"up_{i}_res_{j}", **kw)(h)
             if i < len(cfg.block_out_channels) - 1:
                 h = Upsample(ch, name=f"up_{i}_upsample", **kw)(h)
-        h = GroupNorm(name="norm_out", **kw)(h)
-        h = nn.silu(h)
+        h = GroupNorm(silu=True, name="norm_out", **kw)(h)
         return nn.Conv(cfg.in_channels, (3, 3), padding=1, name="conv_out", **kw)(h).astype(
             jnp.float32
         )
@@ -91,8 +90,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(ch_top, name="mid_res_0", **kw)(h)
         h = AttnBlock2D(name="mid_attn", **kw)(h)
         h = ResnetBlock(ch_top, name="mid_res_1", **kw)(h)
-        h = GroupNorm(name="norm_out", **kw)(h)
-        h = nn.silu(h)
+        h = GroupNorm(silu=True, name="norm_out", **kw)(h)
         # moments: mean + logvar
         return nn.Conv(cfg.latent_channels * 2, (3, 3), padding=1, name="conv_out", **kw)(h).astype(
             jnp.float32

@@ -70,8 +70,8 @@ def unet_name_map(cfg: UNetConfig) -> Dict[str, Tuple[str, Transform, Transform]
             m[f"{dst}/bias"] = (f"{src}.bias", _id, _id)
 
     def norm(dst, src):
-        m[f"{dst}/GroupNorm_0/scale"] = (f"{src}.weight", _id, _id)
-        m[f"{dst}/GroupNorm_0/bias"] = (f"{src}.bias", _id, _id)
+        m[f"{dst}/scale"] = (f"{src}.weight", _id, _id)
+        m[f"{dst}/bias"] = (f"{src}.bias", _id, _id)
 
     def ln(dst, src):
         m[f"{dst}/scale"] = (f"{src}.weight", _id, _id)
@@ -149,8 +149,8 @@ def vae_name_map(n_levels: int, layers_per_block: int) -> Dict[str, Tuple[str, T
         m[f"{dst}/bias"] = (f"{src}.bias", _id, _id)
 
     def norm(dst, src):
-        m[f"{dst}/GroupNorm_0/scale"] = (f"{src}.weight", _id, _id)
-        m[f"{dst}/GroupNorm_0/bias"] = (f"{src}.bias", _id, _id)
+        m[f"{dst}/scale"] = (f"{src}.weight", _id, _id)
+        m[f"{dst}/bias"] = (f"{src}.bias", _id, _id)
 
     def resnet(dst, src):
         norm(f"{dst}/norm1", f"{src}.norm1")

@@ -1,0 +1,44 @@
+"""Fused GroupNorm+SiLU Pallas kernel vs flax reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from sonicdiffusionbayeslab_tpu.ops.groupnorm import group_norm_silu
+
+
+@pytest.mark.parametrize("B,H,W,C,groups,blocks", [
+    (2, 8, 8, 64, 32, 64),     # single spatial block
+    (1, 16, 16, 32, 8, 64),    # multi-block accumulation (256 rows / 64)
+])
+def test_group_norm_silu_matches_flax(B, H, W, C, groups, blocks):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)) * 3 + 1, jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(C), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(C), jnp.float32)
+
+    got = group_norm_silu(x, gamma, beta, groups=groups, block_rows=blocks, interpret=True)
+
+    gn = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+    ref = gn.apply({"params": {"scale": gamma, "bias": beta}}, x)
+    ref = ref * jax.nn.sigmoid(ref)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_group_norm_no_silu():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 32)), jnp.float32)
+    gamma, beta = jnp.ones(32), jnp.zeros(32)
+    got = group_norm_silu(x, gamma, beta, groups=4, silu=False, interpret=True)
+    ref = nn.GroupNorm(num_groups=4, epsilon=1e-5).apply(
+        {"params": {"scale": gamma, "bias": beta}}, x
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_group_norm_validates():
+    x = jnp.zeros((1, 4, 4, 30))
+    with pytest.raises(ValueError, match="divisible"):
+        group_norm_silu(x, jnp.ones(30), jnp.zeros(30), groups=32, interpret=True)
