@@ -142,13 +142,37 @@ class StableDiffusionModel:
     def to(self, device: str):
         return self
 
-    def fuse_lora(self, scale: float = 1.0):  # LCM-LoRA hook (consistency method)
+    def fuse_lora(self, scale: float = 1.0):
+        """Merge pending LoRA deltas into the UNet params (reference
+        consistency_model.py:20-21 fuse path)."""
+        if getattr(self, "_pending_lora", None) is not None:
+            from sonicdiffusionbayeslab_tpu.models.weights import merge_lora, unet_name_map
+
+            self.params = dict(self.params)
+            self.params["unet"] = merge_lora(
+                self.params["unet"], self._pending_lora,
+                unet_name_map(self.engine.unet_config), scale,
+            )
+            self._pending_lora = None
         return self
 
     def load_lora_weights(self, path: str):
-        """LoRA fusion requires real weights; with a local snapshot this
-        merges A@B deltas into the UNet tree (follow-up); random-init mode
-        is a no-op so the LCM *sampling* semantics are still exercised."""
+        """Stage a LoRA state dict (diffusers kohya or peft layout) from a
+        local file/snapshot; a hub id with no local file is a logged no-op
+        (offline environment) so LCM *sampling* semantics still run."""
+        from pathlib import Path as _P
+
+        p = _P(path)
+        candidates = [p] if p.is_file() else [
+            p / "pytorch_lora_weights.bin", p / "pytorch_lora_weights.safetensors"
+        ]
+        for c in candidates:
+            if c.exists():
+                from sonicdiffusionbayeslab_tpu.models.weights import load_torch_state_dict
+
+                self._pending_lora = load_torch_state_dict(c)
+                return self
+        self._pending_lora = None
         return self
 
 

@@ -220,6 +220,7 @@ class StableDiffusionEngine:
         latent_hw: Tuple[int, int] = (64, 64),
         collect_x0: bool = False,
         decode: bool = True,
+        mesh=None,
     ) -> SampleOutput:
         """Generate images for one batch. Returns reference-contract output:
         (images, execution_time of the denoise loop only, optional x0 decodes)
@@ -236,6 +237,17 @@ class StableDiffusionEngine:
         latents0 = rng_util.per_sample_latents(
             key, jnp.asarray(sample_indices, jnp.int32), lat_shape
         )
+
+        if mesh is not None:
+            # Data-parallel sampling: shard the batch axis over the mesh's
+            # 'data' axis (params are placed by the caller via
+            # parallel.shard_params); GSPMD propagates everything else.
+            from sonicdiffusionbayeslab_tpu.parallel import shard_batch
+
+            n_data = mesh.shape.get("data", 1)
+            if B % n_data:
+                raise ValueError(f"batch {B} not divisible by data axis {n_data}")
+            latents0, embeds = shard_batch(mesh, latents0, embeds)
 
         xs = {k: jnp.asarray(v) for k, v in plan.scan_xs().items()}
         use_cache = cache_plan is not None
@@ -276,10 +288,27 @@ class StableDiffusionEngine:
         _ = jax.device_get(latents[(0,) * latents.ndim])
         execution_time = time.perf_counter() - t0
 
+        import os
+
+        if os.environ.get("SDBL_CHECK_NANS"):
+            # Sanitizer mode (SURVEY §5): fail loudly on non-finite latents
+            # with enough context to bisect the plan.
+            if not bool(jnp.isfinite(latents).all()):
+                raise FloatingPointError(
+                    f"non-finite latents after plan {plan.name!r} "
+                    f"(guidance={guidance_scale}, steps={plan.num_steps})"
+                )
+
         images = self.decode_fn(params["vae"], latents) if decode else None
         x0_images = None
         if collect_x0:
-            x0_images = self.decode_fn(params["vae"], x0_seq)
+            # Pad the step axis to a small multiple so sweeps over many step
+            # counts reuse a handful of VAE-decode compilations.
+            S = x0_seq.shape[0]
+            Sp = -(-S // 8) * 8
+            x0_images = self.decode_fn(
+                params["vae"], jnp.pad(x0_seq, ((0, Sp - S),) + ((0, 0),) * 3)
+            )[:S]
         return SampleOutput(
             images=images,
             execution_time=execution_time,

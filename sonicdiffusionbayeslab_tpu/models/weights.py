@@ -333,3 +333,76 @@ def load_params(path: str | Path) -> dict:
 
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(Path(path).absolute())
+
+
+# ------------------------------------------------------------------- LoRA
+def merge_lora(
+    unet_tree: dict,
+    lora_sd: Dict[str, np.ndarray],
+    name_map: Dict[str, Tuple[str, Transform, Transform]],
+    scale: float = 1.0,
+) -> dict:
+    """Fuse a diffusers-format UNet LoRA into the converted param tree.
+
+    Parity: the reference's ``load_lora_weights`` + ``fuse_lora`` path
+    (consistency_model.py:20-21, LCM-LoRA).  Keys look like
+    ``lora_unet_<module>_.lora_down.weight`` / ``...lora_up.weight`` or the
+    peft layout ``unet.<module>.lora_A.weight`` / ``lora_B``; the merged
+    delta is ``up @ down * (alpha/rank) * scale`` applied to the base torch
+    tensor, then re-converted through the standard transform.
+    """
+    # Kohya mangling (dots -> underscores) is lossy; un-mangle by matching
+    # against the known source-module names from the name map.
+    demangle = {
+        src[: -len(".weight")].replace(".", "_"): src[: -len(".weight")]
+        for src in (s for s, *_ in name_map.values())
+        if src.endswith(".weight")
+    }
+
+    # Collect (base_name -> (down, up, alpha)) pairs from either layout.
+    pairs: Dict[str, dict] = {}
+    for k, v in lora_sd.items():
+        kk = k
+        if kk.startswith("lora_unet_"):
+            mangled = kk[len("lora_unet_"):].split(".", 1)[0]
+            base = demangle.get(mangled)
+            if base is None:
+                continue
+            part = k.rsplit(".", 2)[-2]  # lora_down / lora_up
+            slot = {"lora_down": "down", "lora_up": "up"}.get(part)
+        elif kk.startswith("unet."):
+            base = kk[len("unet."):].rsplit(".lora_", 1)[0]
+            slot = "down" if ".lora_A." in kk else ("up" if ".lora_B." in kk else None)
+        else:
+            continue
+        if k.endswith(".alpha"):
+            pairs.setdefault(base, {})["alpha"] = float(np.asarray(v))
+            continue
+        if slot:
+            pairs.setdefault(base, {})[slot] = np.asarray(v, np.float32)
+
+    # Index the name map by source torch name for reverse lookup.
+    by_src = {src: (dst, fwd) for dst, (src, fwd, _) in name_map.items()}
+    flat = flatten(unet_tree)
+    merged = dict(flat)
+    applied = 0
+    for base, p in pairs.items():
+        if "down" not in p or "up" not in p:
+            continue
+        src_name = f"{base}.weight"
+        if src_name not in by_src:
+            continue
+        dst, fwd = by_src[src_name]
+        down, up = p["down"], p["up"]
+        rank = down.shape[0]
+        alpha = p.get("alpha", float(rank))
+        if down.ndim == 4:  # conv LoRA: [r, in, kh, kw] x [out, r, 1, 1]
+            delta = np.einsum("or,rikl->oikl", up[:, :, 0, 0], down)
+        else:
+            delta = up @ down
+        delta = delta * (alpha / rank) * scale
+        merged[dst] = (flat[dst].astype(np.float32) + fwd(delta)).astype(flat[dst].dtype)
+        applied += 1
+    if applied == 0:
+        raise KeyError("no LoRA tensors matched the UNet name map")
+    return unflatten(merged)

@@ -99,3 +99,75 @@ def test_mesh_tp_dense_matches_replicated(engine, params):
 def test_make_mesh_validates():
     with pytest.raises(ValueError, match="devices"):
         make_mesh(n_data=3, n_model=3)
+
+
+def test_lora_merge_applies_delta(engine, params):
+    """Synthetic kohya-layout LoRA on one attention projection and one conv:
+    merged tree differs exactly by fwd(up @ down * alpha/rank * scale)."""
+    import numpy as np
+
+    nm = W.unet_name_map(engine.unet_config)
+    tree = jax.tree.map(np.asarray, params["unet"])
+    # Pick a dense target (to_q of the first down attention) and a conv.
+    dense_dst = "down_0_attn_0/block_0/attn1/to_q/kernel"
+    dense_src = nm[dense_dst][0][: -len(".weight")]
+    conv_dst = "down_0_res_0/conv1/kernel"
+    conv_src = nm[conv_dst][0][: -len(".weight")]
+
+    rng = np.random.default_rng(0)
+    d_out, d_in = tree["down_0_attn_0"]["block_0"]["attn1"]["to_q"]["kernel"].shape[::-1]
+    r = 4
+    down = rng.standard_normal((r, d_in)).astype(np.float32)
+    up = rng.standard_normal((d_out, r)).astype(np.float32)
+    kh, kw, c_in, c_out = tree["down_0_res_0"]["conv1"]["kernel"].shape
+    cdown = rng.standard_normal((r, c_in, kh, kw)).astype(np.float32)
+    cup = rng.standard_normal((c_out, r, 1, 1)).astype(np.float32)
+
+    sd = {
+        f"lora_unet_{dense_src.replace('.', '_')}.lora_down.weight": down,
+        f"lora_unet_{dense_src.replace('.', '_')}.lora_up.weight": up,
+        f"lora_unet_{dense_src.replace('.', '_')}.alpha": np.float32(8.0),
+        f"unet.{conv_src}.lora_A.weight": cdown,
+        f"unet.{conv_src}.lora_B.weight": cup,
+    }
+    merged = W.merge_lora(tree, sd, nm, scale=0.5)
+
+    want_dense = tree["down_0_attn_0"]["block_0"]["attn1"]["to_q"]["kernel"] + (
+        (up @ down) * (8.0 / r) * 0.5
+    ).T
+    got_dense = merged["down_0_attn_0"]["block_0"]["attn1"]["to_q"]["kernel"]
+    np.testing.assert_allclose(got_dense, want_dense, rtol=1e-5)
+
+    # peft layout has no alpha entry -> alpha defaults to rank (factor 1).
+    delta_conv = np.einsum("or,rikl->oikl", cup[:, :, 0, 0], cdown) * 0.5
+    want_conv = tree["down_0_res_0"]["conv1"]["kernel"] + np.transpose(delta_conv, (2, 3, 1, 0))
+    np.testing.assert_allclose(merged["down_0_res_0"]["conv1"]["kernel"], want_conv, rtol=1e-5)
+
+    with pytest.raises(KeyError, match="no LoRA"):
+        W.merge_lora(tree, {"bogus": np.zeros(1)}, nm)
+
+
+def test_engine_sample_on_mesh(engine, params):
+    """engine.sample(mesh=...): 8-way DP sampling equals single-device."""
+    import jax.numpy as jnp
+
+    from sonicdiffusionbayeslab_tpu.models.tokenizer import HashTokenizer
+    from sonicdiffusionbayeslab_tpu.schedulers import DPMSolverScheduler
+
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    plan = DPMSolverScheduler(solver_order=2).build_plan(3)
+    prompts = [f"prompt {i}" for i in range(8)]
+    emb = engine.encode_prompts(params, tok(prompts))
+    neg = engine.encode_prompts(params, tok([""] * 8))
+    key = jax.random.PRNGKey(29)
+
+    ref = engine.sample(params, plan, emb, neg, key, latent_hw=(8, 8))
+    mesh = make_mesh(n_data=8, n_model=1)
+    with mesh:
+        p = shard_params(params, mesh)
+        out = engine.sample(p, plan, emb, neg, key, latent_hw=(8, 8), mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(out.images), np.asarray(ref.images), atol=2e-4
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        engine.sample(params, plan, emb[:3], neg[:3], key, latent_hw=(8, 8), mesh=mesh)
