@@ -181,21 +181,38 @@ class FID(Metric):
     Protocol parity with torchmetrics FID as configured by the reference
     (feature=64, metrics.py:98-112; configs e.g. ddim_config.yaml:19-22):
     two streaming moment accumulators + Fréchet math (metrics/frechet.py).
-    Feature extractor: CLIP image embeddings projected to ``feature`` dims
-    with a fixed random projection (InceptionV3 port = planned follow-up;
-    divergence documented).
+    Feature extractor: a Flax InceptionV3 stem for the 64-/192-d taps the
+    reference uses (metrics/inception.py, real weights loadable offline via
+    ``inception_checkpoint``); deeper taps fall back to CLIP image
+    embeddings + fixed random projection (documented divergence until the
+    Mixed blocks land).
     """
 
-    def __init__(self, feature: int = 64, input_img_size: int = 512, normalize: bool = False, tiny: bool = False):
+    def __init__(
+        self,
+        feature: int = 64,
+        input_img_size: int = 512,
+        normalize: bool = False,
+        tiny: bool = False,
+        inception_checkpoint: Optional[str] = None,
+    ):
         self.feature = int(feature)
         self.input_img_size = input_img_size
         self.normalize = normalize
-        self.backend = _clip_backend(None, tiny)
+        self._inception = None
         self._proj: Optional[np.ndarray] = None
+        if not tiny and self.feature in (64, 192):
+            from sonicdiffusionbayeslab_tpu.metrics.inception import InceptionFeatures
+
+            self._inception = InceptionFeatures(self.feature, inception_checkpoint)
+        else:
+            self.backend = _clip_backend(None, tiny)
         self.real = StreamingMoments(self.feature)
         self.fake = StreamingMoments(self.feature)
 
     def _features(self, images: np.ndarray) -> np.ndarray:
+        if self._inception is not None:
+            return self._inception(images)
         f = self.backend.image_features(images)
         if f.shape[1] != self.feature:
             if self._proj is None or self._proj.shape != (f.shape[1], self.feature):

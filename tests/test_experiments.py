@@ -172,3 +172,28 @@ def test_sweep_resume(tmp_path, monkeypatch):
     state.write_text(json.dumps({"done": ["steps_2"]}))
     metrics = m.run_experiment()
     assert metrics["exp"] == ["steps_3"]  # steps_2 skipped as already done
+
+
+def test_inception_stem_features():
+    from sonicdiffusionbayeslab_tpu.metrics.inception import InceptionFeatures
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    for feat in (64, 192):
+        fx = InceptionFeatures(feat)
+        out = fx(imgs)
+        assert out.shape == (2, feat) and np.isfinite(out).all()
+    with pytest.raises(ValueError, match="taps"):
+        InceptionFeatures(2048)
+
+
+def test_fid_uses_inception_for_64():
+    m = FID(feature=64, tiny=False)
+    assert m._inception is not None
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    m.update(imgs, real=True)
+    m.update(imgs, real=True)
+    m.update(imgs + 0.05, real=False)
+    m.update(imgs + 0.05, real=False)
+    assert np.isfinite(m.compute())
