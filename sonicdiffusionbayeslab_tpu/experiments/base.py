@@ -20,9 +20,8 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Any, Dict, Iterable, List
 
-import jax
 import numpy as np
 
 from sonicdiffusionbayeslab_tpu.config import ConfigNode

@@ -10,7 +10,6 @@ loop-only timing (src/models.py:329-335).
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Any, Dict, Optional, Sequence
 
@@ -19,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sonicdiffusionbayeslab_tpu.models.clip_text import CLIPTextConfig
-from sonicdiffusionbayeslab_tpu.models.sampler import CachePlan, StableDiffusionEngine
+from sonicdiffusionbayeslab_tpu.models.sampler import StableDiffusionEngine
 from sonicdiffusionbayeslab_tpu.models.tokenizer import load_tokenizer
 from sonicdiffusionbayeslab_tpu.models.unet import UNetConfig
 from sonicdiffusionbayeslab_tpu.models.vae import VAEConfig

@@ -29,7 +29,7 @@ from sonicdiffusionbayeslab_tpu.models.clip_text import CLIPTextConfig, CLIPText
 from sonicdiffusionbayeslab_tpu.models.unet import UNet2DCondition, UNetConfig
 from sonicdiffusionbayeslab_tpu.models.vae import AutoencoderKL, VAEConfig
 from sonicdiffusionbayeslab_tpu.schedulers.plan import SamplePlan
-from sonicdiffusionbayeslab_tpu.schedulers.runtime import SchedulerCarry, apply_row, init_carry
+from sonicdiffusionbayeslab_tpu.schedulers.runtime import SchedulerCarry, apply_row
 from sonicdiffusionbayeslab_tpu.utils import rng as rng_util
 
 

@@ -17,7 +17,6 @@ diffusers installed.
 
 from __future__ import annotations
 
-import re
 from pathlib import Path
 from typing import Callable, Dict, Tuple
 

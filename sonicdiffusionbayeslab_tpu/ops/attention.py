@@ -9,7 +9,6 @@ is fixed here so the backend can change without touching model code.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 

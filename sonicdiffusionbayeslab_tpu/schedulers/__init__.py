@@ -10,7 +10,7 @@ mutable per-run state exists anywhere — the plan is the run.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
@@ -19,7 +19,7 @@ from sonicdiffusionbayeslab_tpu.schedulers import plans  # noqa: F401  (re-expor
 from sonicdiffusionbayeslab_tpu.schedulers.ddim import ddim_rows, ddim_transition_row
 from sonicdiffusionbayeslab_tpu.schedulers.dpm import dpm_rows, make_ladder, simulate_orders
 from sonicdiffusionbayeslab_tpu.schedulers.lcm import lcm_rows
-from sonicdiffusionbayeslab_tpu.schedulers.plan import SamplePlan, StepRow, stack_rows
+from sonicdiffusionbayeslab_tpu.schedulers.plan import SamplePlan, stack_rows
 from sonicdiffusionbayeslab_tpu.schedulers.plans import (  # noqa: F401
     interleave_plan,
     skip_plan,

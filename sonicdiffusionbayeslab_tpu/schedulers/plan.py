@@ -28,7 +28,7 @@ History convention: ``hist[0]`` is the most recent pushed entry.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -14,8 +14,6 @@ from typing import List, Sequence
 
 import numpy as np
 
-from sonicdiffusionbayeslab_tpu.schedulers.ddim import ddim_rows, ddim_transition_row
-from sonicdiffusionbayeslab_tpu.schedulers.dpm import dpm_rows, make_ladder, simulate_orders
 from sonicdiffusionbayeslab_tpu.schedulers.plan import SamplePlan, StepRow, stack_rows
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import inspect
-from typing import Any, Callable, Dict, Generic, Iterator, Mapping, Optional, TypeVar
+from typing import Any, Callable, Dict, Generic, Iterator, Mapping, TypeVar
 
 T = TypeVar("T")
 
