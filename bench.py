@@ -22,6 +22,9 @@ import numpy as np
 
 
 def main():
+    from sonicdiffusionbayeslab_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
     quick = "--quick" in sys.argv
     on_tpu = jax.default_backend() == "tpu"
 

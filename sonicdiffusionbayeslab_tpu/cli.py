@@ -17,6 +17,9 @@ from sonicdiffusionbayeslab_tpu.utils.rng import setup_seed
 
 
 def run(config_path: str):
+    from sonicdiffusionbayeslab_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
     load_all_plugins()
     config = load_config(config_path)
     setup_seed(config.experiment.get("seed", 29))
