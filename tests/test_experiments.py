@@ -197,3 +197,51 @@ def test_fid_uses_inception_for_64():
     m.update(imgs + 0.05, real=False)
     m.update(imgs + 0.05, real=False)
     assert np.isfinite(m.compute())
+
+
+def test_time_it_and_sync():
+    import jax.numpy as jnp
+
+    from sonicdiffusionbayeslab_tpu.utils.profiling import flops_estimate, time_it
+
+    @time_it
+    def f(x):
+        return x * 2
+
+    out, dt = f(jnp.ones((4, 4)))
+    assert dt > 0 and np.allclose(np.asarray(out), 2.0)
+    est = flops_estimate(lambda a, b: a @ b, jnp.ones((64, 64)), jnp.ones((64, 64)))
+    assert est.get("flops", 0) > 0 or est == {}
+
+
+def test_compilation_cache_enable(tmp_path):
+    from sonicdiffusionbayeslab_tpu.utils import compilation_cache
+
+    p = compilation_cache.enable(str(tmp_path / "cache"))
+    assert p.exists()
+    compilation_cache.enable(str(tmp_path / "cache"))  # idempotent
+
+
+def test_aesthetic_scorer():
+    from sonicdiffusionbayeslab_tpu.metrics.aesthetic import AestheticScorer, normalized
+
+    emb = np.random.default_rng(0).standard_normal((3, 768)).astype(np.float32)
+    scores = AestheticScorer()(emb)
+    assert scores.shape == (3,) and np.isfinite(scores).all()
+    n = normalized(emb)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_logger_local_artifacts(tmp_path):
+    from sonicdiffusionbayeslab_tpu.loggers import Logger
+
+    lg = Logger(wandb_enable=False, run_name="t", output_root=str(tmp_path))
+    lg.log_metrics({"a": 1.0}, step=0)
+    lg.log_metrics_into_table({"x": [1, 2]}, name="tbl")
+    imgs = np.random.default_rng(0).uniform(0, 1, (2, 8, 8, 3)).astype(np.float32)
+    lg.log_batch_of_images(imgs, name="s", captions=["a", "b"], step=0)
+    lg.finish()
+    d = lg.local.dir
+    assert (d / "events.jsonl").exists()
+    assert (d / "tables" / "tbl.tsv").exists()
+    assert list((d / "images").glob("*.png"))
