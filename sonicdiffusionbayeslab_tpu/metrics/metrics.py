@@ -154,9 +154,15 @@ class RewardModel(Metric):
         self,
         model_name: str = "ImageReward-v1.0",
         scorer: Optional[Callable[[np.ndarray, Sequence[str]], np.ndarray]] = None,
+        checkpoint: Optional[str] = None,
+        vocab_path: Optional[str] = None,
         tiny: bool = False,
     ):
         self.model_name = model_name
+        if scorer is None and checkpoint is not None:
+            from sonicdiffusionbayeslab_tpu.metrics.image_reward_model import ImageRewardScorer
+
+            scorer = ImageRewardScorer(checkpoint, tiny=tiny, vocab_path=vocab_path)
         self._scorer = scorer or (lambda imgs, prompts: _clip_backend(None, tiny).scores(imgs, prompts))
         self.reset()
 

@@ -245,3 +245,21 @@ def test_logger_local_artifacts(tmp_path):
     assert (d / "events.jsonl").exists()
     assert (d / "tables" / "tbl.tsv").exists()
     assert list((d / "images").glob("*.png"))
+
+
+def test_image_reward_blip_scorer_tiny():
+    from sonicdiffusionbayeslab_tpu.metrics.image_reward_model import ImageRewardScorer
+
+    scorer = ImageRewardScorer(tiny=True)
+    imgs = np.random.default_rng(0).uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    s = scorer(imgs, ["a cat on a mat", "a dog"])
+    assert s.shape == (2,) and np.isfinite(s).all()
+    # Deterministic + prompt-sensitive.
+    s2 = scorer(imgs, ["a cat on a mat", "a dog"])
+    np.testing.assert_array_equal(s, s2)
+    s3 = scorer(imgs, ["something completely different entirely", "a dog"])
+    assert abs(s3[0] - s[0]) > 0 and s3[1] == s[1]
+    # Plugs into the metric.
+    rm = RewardModel(scorer=scorer)
+    rm.update(["a cat", "a dog"], imgs, imgs)
+    assert rm.compute() == 1.0
