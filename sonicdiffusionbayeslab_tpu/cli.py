@@ -17,8 +17,10 @@ from sonicdiffusionbayeslab_tpu.utils.rng import setup_seed
 
 
 def run(config_path: str):
+    from sonicdiffusionbayeslab_tpu.parallel.distributed import initialize as init_distributed
     from sonicdiffusionbayeslab_tpu.utils.compilation_cache import enable as enable_cache
 
+    init_distributed()
     enable_cache()
     load_all_plugins()
     config = load_config(config_path)

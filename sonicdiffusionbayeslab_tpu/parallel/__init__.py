@@ -1,3 +1,8 @@
+from sonicdiffusionbayeslab_tpu.parallel.distributed import (  # noqa: F401
+    all_sum_array,
+    all_sum_scalar,
+    initialize,
+)
 from sonicdiffusionbayeslab_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,

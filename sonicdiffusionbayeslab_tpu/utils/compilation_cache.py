@@ -11,18 +11,18 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
-_ENABLED = False
+_ACTIVE_DIR: Path | None = None
 
 
 def enable(cache_dir: str | None = None) -> Path:
-    global _ENABLED
+    global _ACTIVE_DIR
     import jax
 
     path = Path(cache_dir or os.environ.get("SDBL_COMPILE_CACHE", "~/.cache/sdbl_xla")).expanduser()
-    if not _ENABLED:
+    if _ACTIVE_DIR != path:
         path.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(path))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        _ENABLED = True
+        _ACTIVE_DIR = path
     return path
