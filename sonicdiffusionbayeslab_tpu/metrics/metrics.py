@@ -10,11 +10,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from sonicdiffusionbayeslab_tpu.metrics.frechet import StreamingMoments, frechet_distance
+from sonicdiffusionbayeslab_tpu.parallel.distributed import all_sum_array, all_sum_scalar
 from sonicdiffusionbayeslab_tpu.registry import metrics_registry
 
 
 class Metric:
-    """update()/compute()/reset() protocol (torchmetrics-style)."""
+    """update()/compute()/reset() protocol (torchmetrics-style).
+
+    compute() reduces each metric's sufficient statistics across JAX
+    processes (all_sum_*, identity single-process) so multi-host validation
+    reports global numbers — the reference declared torchmetrics
+    ``dist_reduce_fx='sum'`` states but never ran distributed (SURVEY §2.3).
+    Reductions go into locals, never back into state, so compute() stays
+    idempotent.
+    """
 
     def update(self, *a, **k):  # pragma: no cover - interface
         raise NotImplementedError
@@ -42,7 +51,9 @@ class TimeMetric(Metric):
         self.images += int(batch_size)
 
     def compute(self) -> float:
-        return self.time_sum / max(self.images, 1)
+        t = all_sum_scalar(self.time_sum)
+        n = all_sum_scalar(self.images)
+        return t / max(n, 1)
 
     def reset(self) -> None:
         self.time_sum = 0.0
@@ -133,7 +144,9 @@ class ClipScoreMetric(Metric):
         return self.compute()
 
     def compute(self) -> float:
-        return self.score_sum / max(self.n, 1)
+        s = all_sum_scalar(self.score_sum)
+        n = all_sum_scalar(self.n)
+        return s / max(n, 1)
 
     def reset(self) -> None:
         self.score_sum = 0.0
@@ -173,7 +186,9 @@ class RewardModel(Metric):
         self.n += len(prompts)
 
     def compute(self) -> float:
-        return self.wins / max(self.n, 1)
+        wins = all_sum_scalar(self.wins)
+        n = all_sum_scalar(self.n)
+        return wins / max(n, 1)
 
     def reset(self) -> None:
         self.wins = 0
@@ -230,9 +245,21 @@ class FID(Metric):
     def update(self, images: np.ndarray, real: bool) -> None:
         (self.real if real else self.fake).update(self._features(images))
 
+    @staticmethod
+    def _global_mean_cov(m: StreamingMoments):
+        """mean_cov over the moments summed across all processes."""
+        n = int(all_sum_scalar(m.n))
+        if n < 2:
+            raise ValueError("need >= 2 samples for covariance")
+        s = all_sum_array(m.sum)
+        outer = all_sum_array(m.outer)
+        mu = s / n
+        cov = (outer - n * np.outer(mu, mu)) / (n - 1)
+        return mu, cov
+
     def compute(self) -> float:
-        mu1, c1 = self.real.mean_cov()
-        mu2, c2 = self.fake.mean_cov()
+        mu1, c1 = self._global_mean_cov(self.real)
+        mu2, c2 = self._global_mean_cov(self.fake)
         return frechet_distance(mu1, c1, mu2, c2)
 
     def reset(self) -> None:
