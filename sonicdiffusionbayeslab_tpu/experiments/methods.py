@@ -77,20 +77,16 @@ class DeepCacheMethod(BaseMethod):
     def grid(self) -> Iterable[dict]:
         intervals = self.params.get("cache_interval", [2])
         branch = int(self.params.get("cache_branch_id", 0))
-        if branch != 0:
-            raise NotImplementedError(
-                "cache_branch_id != 0 not yet re-expressed (reference sweeps branch 0)"
-            )
         for interval in intervals:
             for steps in self.params.get("num_inference_steps", [50]):
                 yield {
                     "label": f"interval_{interval}_steps_{steps}",
                     "call_kw": {"num_inference_steps": int(steps)},
-                    "pre": lambda interval=interval: self._enable(int(interval)),
+                    "pre": lambda interval=interval: self._enable(int(interval), branch),
                 }
 
-    def _enable(self, interval: int) -> None:
-        self.model.cache_plan_fn = lambda n: CachePlan.every(n, interval)
+    def _enable(self, interval: int, branch: int = 0) -> None:
+        self.model.cache_plan_fn = lambda n: CachePlan.every(n, interval, branch)
 
     def run_experiment(self):
         # Wrap BaseMethod's sweep to toggle the cache hook per grid point

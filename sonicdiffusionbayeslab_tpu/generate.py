@@ -29,6 +29,7 @@ def main() -> None:
     p.add_argument("--out", default="outputs/generate/img_{i:03d}.png")
     p.add_argument("--tiny", action="store_true", help="tiny random-weight model (smoke)")
     p.add_argument("--cache_interval", type=int, default=0, help="DeepCache interval (0=off)")
+    p.add_argument("--cache_branch_id", type=int, default=0, help="DeepCache split depth")
     args = p.parse_args()
 
     from sonicdiffusionbayeslab_tpu.data.imageio import write_png
@@ -46,7 +47,7 @@ def main() -> None:
     skw = {"solver_order": args.solver_order} if args.scheduler == "dpm_solver_scheduler" else {}
     model.scheduler = schedulers_registry[args.scheduler](**skw)
     if args.cache_interval > 0:
-        model.cache_plan_fn = lambda n: CachePlan.every(n, args.cache_interval)
+        model.cache_plan_fn = lambda n: CachePlan.every(n, args.cache_interval, args.cache_branch_id)
 
     images, exec_time, _ = model(
         args.prompt,

@@ -39,17 +39,18 @@ class CachePlan:
 
     Reference semantics (deep_cache.py:25-29 + the DeepCache package): the
     trunk is recomputed every ``cache_interval`` steps and replayed
-    otherwise.  ``cache_branch_id`` > 0 (deeper split points) is not yet
-    re-expressed — the split lives at down/up level 0 (branch 0), the
-    configuration the reference sweeps.
+    otherwise.  ``branch`` picks the split depth (down/up level) between the
+    always-run shallow branch and the cached trunk — the reference sweeps
+    only branch 0; deeper branches cache less and recompute more.
     """
 
     full: np.ndarray  # bool [L]
+    branch: int = 0  # cache_branch_id: shallow/trunk split level
 
     @classmethod
-    def every(cls, num_steps: int, cache_interval: int) -> "CachePlan":
+    def every(cls, num_steps: int, cache_interval: int, branch: int = 0) -> "CachePlan":
         idx = np.arange(num_steps)
-        return cls(full=(idx % int(cache_interval)) == 0)
+        return cls(full=(idx % int(cache_interval)) == 0, branch=int(branch))
 
     @classmethod
     def none(cls, num_steps: int) -> "CachePlan":
@@ -130,6 +131,7 @@ class StableDiffusionEngine:
         use_rescale: bool,
         use_cache: bool,
         collect_x0: bool,
+        cache_branch: int = 0,
     ):
         unet = self.unet
 
@@ -146,12 +148,14 @@ class StableDiffusionEngine:
                 if use_cache:
                     def full(c):
                         return unet.apply(
-                            {"params": unet_params}, lat_in, tb, embeds, return_cache=True
+                            {"params": unet_params}, lat_in, tb, embeds,
+                            return_cache=True, cache_branch_id=cache_branch,
                         )
 
                     def cached(c):
                         return (
-                            unet.apply({"params": unet_params}, lat_in, tb, embeds, cache=c),
+                            unet.apply({"params": unet_params}, lat_in, tb, embeds,
+                                       cache=c, cache_branch_id=cache_branch),
                             c,
                         )
 
@@ -192,7 +196,7 @@ class StableDiffusionEngine:
                 b = latents0.shape[0] * (2 if do_cfg else 1)
                 h, w = latents0.shape[1], latents0.shape[2]
                 carry0["cache"] = jnp.zeros(
-                    (b,) + unet.cache_shape(h, w), unet.dtype
+                    (b,) + unet.cache_shape(h, w, cache_branch), unet.dtype
                 )
             carry, x0_seq = jax.lax.scan(body, carry0, plan_xs)
             return carry["sched"].latents, x0_seq
@@ -267,6 +271,7 @@ class StableDiffusionEngine:
             guidance_rescale > 0.0,
             use_cache,
             collect_x0,
+            cache_plan.branch if use_cache else 0,
         )
 
         step_key = jax.random.fold_in(key, 0x5EED)

@@ -78,6 +78,7 @@ class UNet2DCondition(nn.Module):
         encoder_hidden_states: jax.Array,  # [B, T, cross_attention_dim]
         cache: Optional[jax.Array] = None,  # deep-feature injection (DeepCache)
         return_cache: bool = False,  # also return the deep trunk's features
+        cache_branch_id: int = 0,  # static: depth of the shallow/trunk split
     ):
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -107,24 +108,31 @@ class UNet2DCondition(nn.Module):
             )
 
         n_levels = len(cfg.block_out_channels)
-        # DeepCache split (cache_branch_id=0 semantics, reference
-        # deep_cache.py:25-27): the shallow branch = down level 0 + up level 0;
-        # everything deeper (down levels 1+, mid, up levels 1+) is the trunk
-        # whose output feature map is cached/replayed between steps.  On a
-        # cached step only the shallow branch executes.
+        # DeepCache split (reference deep_cache.py:25-27, generalized to any
+        # branch): the shallow branch = down levels 0..b + up levels b..0
+        # where b = cache_branch_id; everything deeper (down levels b+1..,
+        # mid, up levels ..b+1) is the trunk whose output feature map is
+        # cached/replayed between steps.  On a cached step only the shallow
+        # branch executes.  b is static, so each (b, cached-ness) pair is its
+        # own compiled program — exactly two per sweep point.
         deep = cache is None
+        branch = int(cache_branch_id)
+        if not 0 <= branch < n_levels:
+            raise ValueError(f"cache_branch_id {branch} out of range [0, {n_levels})")
 
         # ---- down stack; skips collected for the up stack ------------------
         skips = [h]
         for lvl, ch in enumerate(cfg.block_out_channels):
-            if lvl > 0 and not deep:
+            if lvl > branch and not deep:
                 break
             for j in range(cfg.layers_per_block):
                 h = res(ch, f"down_{lvl}_res_{j}")(h, t_emb)
                 if cfg.cross_attention[lvl]:
                     h = xfmr(ch, f"down_{lvl}_attn_{j}")(h, ctx)
                 skips.append(h)
-            if lvl < n_levels - 1 and deep:
+            # Level b's downsample feeds (and its skip is consumed by) the
+            # trunk only, so the shallow pass stops before it.
+            if lvl < n_levels - 1 and (deep or lvl < branch):
                 h = Downsample(ch, name=f"down_{lvl}_downsample", **kw)(h)
                 skips.append(h)
 
@@ -136,7 +144,7 @@ class UNet2DCondition(nn.Module):
             h = res(mid_ch, "mid_res_1")(h, t_emb)
 
             # ---- up stack through the deep levels ------------------------
-            for lvl in reversed(range(1, n_levels)):
+            for lvl in reversed(range(branch + 1, n_levels)):
                 ch = cfg.block_out_channels[lvl]
                 for j in range(cfg.layers_per_block + 1):
                     skip = skips.pop()
@@ -149,13 +157,16 @@ class UNet2DCondition(nn.Module):
             deep_features = cache.astype(self.dtype)
             h = deep_features
 
-        # ---- shallowest up level (always executed) --------------------------
-        ch = cfg.block_out_channels[0]
-        for j in range(cfg.layers_per_block + 1):
-            skip = skips.pop()
-            h = res(ch, f"up_0_res_{j}")(jnp.concatenate([h, skip], axis=-1), t_emb)
-            if cfg.cross_attention[0]:
-                h = xfmr(ch, f"up_0_attn_{j}")(h, ctx)
+        # ---- shallow up levels branch..0 (always executed) ------------------
+        for lvl in reversed(range(branch + 1)):
+            ch = cfg.block_out_channels[lvl]
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                h = res(ch, f"up_{lvl}_res_{j}")(jnp.concatenate([h, skip], axis=-1), t_emb)
+                if cfg.cross_attention[lvl]:
+                    h = xfmr(ch, f"up_{lvl}_attn_{j}")(h, ctx)
+            if lvl > 0:
+                h = Upsample(ch, name=f"up_{lvl}_upsample", **kw)(h)
 
         h = GroupNorm(silu=True, name="conv_norm_out", **kw)(h)
         out = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **kw)(h)
@@ -164,6 +175,14 @@ class UNet2DCondition(nn.Module):
             return out, deep_features
         return out
 
-    def cache_shape(self, height: int, width: int):
-        """Shape of the deep-feature cache for a [*, height, width, *] sample."""
-        return (height, width, self.config.block_out_channels[min(1, len(self.config.block_out_channels) - 1)])
+    def cache_shape(self, height: int, width: int, cache_branch_id: int = 0):
+        """Shape of the deep-feature cache for a [*, height, width, *] sample.
+
+        The trunk output consumed by shallow up level b lives at resolution
+        height/2^b with the channel width of up level b+1 (the mid block's
+        when b is the deepest level).
+        """
+        b = int(cache_branch_id)
+        n = len(self.config.block_out_channels)
+        ch = self.config.block_out_channels[min(b + 1, n - 1)]
+        return (height >> b, width >> b, ch)

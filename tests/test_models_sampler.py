@@ -180,3 +180,45 @@ def test_cache_plan_validation(engine, params):
     with pytest.raises(ValueError, match="first step"):
         engine.sample(params, plan, embeds, None, jax.random.PRNGKey(0),
                       cache_plan=bad, latent_hw=(8, 8))
+
+
+def test_unet_cache_branch1_matches_full(engine, params):
+    """Generalized split: branch-1 cached pass reproduces the full pass when
+    fed the full pass's own trunk features; deep-mode output is invariant to
+    the (static) branch id."""
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 8, 8, 4)), jnp.float32)
+    t = jnp.array([301, 301])
+    ctx = jnp.asarray(np.random.default_rng(3).standard_normal((2, 77, 32)), jnp.float32)
+    plain = engine.unet.apply({"params": params["unet"]}, x, t, ctx)
+    full, deep = engine.unet.apply(
+        {"params": params["unet"]}, x, t, ctx, return_cache=True, cache_branch_id=1
+    )
+    np.testing.assert_allclose(np.asarray(full), np.asarray(plain), rtol=1e-5, atol=1e-5)
+    assert deep.shape == (2,) + engine.unet.cache_shape(8, 8, 1)
+    assert deep.shape[1:3] == (4, 4)  # half resolution at branch 1
+    cached = engine.unet.apply(
+        {"params": params["unet"]}, x, t, ctx, cache=deep, cache_branch_id=1
+    )
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full), rtol=1e-5, atol=1e-5)
+
+
+def test_unet_cache_branch_out_of_range(engine, params):
+    x = jnp.ones((1, 8, 8, 4))
+    with pytest.raises(ValueError, match="out of range"):
+        engine.unet.apply({"params": params["unet"]}, x, jnp.array([1]),
+                          jnp.ones((1, 77, 32)), cache_branch_id=2)
+
+
+def test_sample_with_deepcache_branch1(engine, params):
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    plan = DPMSolverScheduler(solver_order=2).build_plan(6)
+    embeds = engine.encode_prompts(params, tok(["a dog"]))
+    neg = engine.encode_prompts(params, tok([""]))
+    key = jax.random.PRNGKey(2)
+    kw = dict(latent_hw=(8, 8))
+    full = engine.sample(params, plan, embeds, neg, key, **kw)
+    cached = engine.sample(
+        params, plan, embeds, neg, key, cache_plan=CachePlan.every(6, 2, branch=1), **kw
+    )
+    assert np.isfinite(np.asarray(cached.images)).all()
+    assert np.abs(np.asarray(cached.images) - np.asarray(full.images)).max() > 1e-6
