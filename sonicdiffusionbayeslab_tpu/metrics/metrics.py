@@ -202,11 +202,10 @@ class FID(Metric):
     Protocol parity with torchmetrics FID as configured by the reference
     (feature=64, metrics.py:98-112; configs e.g. ddim_config.yaml:19-22):
     two streaming moment accumulators + Fréchet math (metrics/frechet.py).
-    Feature extractor: a Flax InceptionV3 stem for the 64-/192-d taps the
-    reference uses (metrics/inception.py, real weights loadable offline via
-    ``inception_checkpoint``); deeper taps fall back to CLIP image
-    embeddings + fixed random projection (documented divergence until the
-    Mixed blocks land).
+    Feature extractor: the full Flax FID-Inception for all four standard
+    taps 64/192/768/2048 (metrics/inception.py, real weights loadable
+    offline via ``inception_checkpoint``); non-standard dims fall back to
+    CLIP image embeddings + fixed random projection.
     """
 
     def __init__(
@@ -222,7 +221,9 @@ class FID(Metric):
         self.normalize = normalize
         self._inception = None
         self._proj: Optional[np.ndarray] = None
-        if not tiny and self.feature in (64, 192):
+        from sonicdiffusionbayeslab_tpu.metrics.inception import TAPS
+
+        if not tiny and self.feature in TAPS:
             from sonicdiffusionbayeslab_tpu.metrics.inception import InceptionFeatures
 
             self._inception = InceptionFeatures(self.feature, inception_checkpoint)

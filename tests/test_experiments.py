@@ -184,7 +184,78 @@ def test_inception_stem_features():
         out = fx(imgs)
         assert out.shape == (2, feat) and np.isfinite(out).all()
     with pytest.raises(ValueError, match="taps"):
-        InceptionFeatures(2048)
+        InceptionFeatures(100)
+
+
+def test_inception_full_mixed_blocks():
+    """Deep taps: channel widths and spatial map sizes of FID-Inception
+    (Mixed_6e -> 768ch @17x17, Mixed_7c -> 2048ch @8x8 at 299 input)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sonicdiffusionbayeslab_tpu.metrics.inception import InceptionBlocks
+
+    model = InceptionBlocks(max_tap=2048)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (1, 299, 299, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    taps = model.apply({"params": params}, x)
+    assert set(taps) == {64, 192, 768, 2048}
+    for feat, tap in taps.items():
+        assert tap.shape == (1, feat) and bool(jnp.isfinite(tap).all())
+    # Param count of the full tower (conv weights + BN): ~21.8M.
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert 20_000_000 < n < 24_000_000
+
+
+def test_inception_weight_loader_roundtrip(tmp_path):
+    """Synthesize a torch state dict from known values and check every
+    ConvBN in the tree receives its mapped weights."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from sonicdiffusionbayeslab_tpu.metrics.inception import (
+        InceptionBlocks,
+        _is_convbn,
+        load_inception_weights,
+    )
+
+    model = InceptionBlocks(max_tap=768)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))["params"]
+
+    rng = np.random.default_rng(7)
+    sd = {}
+
+    def fill(tree, prefix):
+        if _is_convbn(tree):
+            k = tree["conv"]["kernel"]
+            sd[f"{prefix}.conv.weight"] = torch.tensor(
+                rng.standard_normal((k.shape[3], k.shape[2], k.shape[0], k.shape[1])).astype(np.float32))
+            c = k.shape[3]
+            for torch_name in ("running_mean", "running_var", "weight", "bias"):
+                sd[f"{prefix}.bn.{torch_name}"] = torch.tensor(
+                    rng.standard_normal(c).astype(np.float32))
+            return
+        for name, sub in tree.items():
+            fill(sub, f"{prefix}.{name}" if prefix else name)
+
+    fill(params, "")
+    path = tmp_path / "inception.pth"
+    torch.save(sd, path)
+
+    loaded = load_inception_weights(str(path), params)
+
+    def check(tree, prefix):
+        if _is_convbn(tree):
+            np.testing.assert_allclose(
+                np.asarray(tree["conv"]["kernel"]),
+                np.transpose(sd[f"{prefix}.conv.weight"].numpy(), (2, 3, 1, 0)))
+            np.testing.assert_allclose(np.asarray(tree["bn_scale"]), sd[f"{prefix}.bn.weight"].numpy())
+            return
+        for name, sub in tree.items():
+            check(sub, f"{prefix}.{name}" if prefix else name)
+
+    check(loaded, "")
 
 
 def test_fid_uses_inception_for_64():
