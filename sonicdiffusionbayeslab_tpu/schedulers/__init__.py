@@ -26,6 +26,7 @@ from sonicdiffusionbayeslab_tpu.schedulers.plans import (  # noqa: F401
     two_scheduler_plan,
 )
 from sonicdiffusionbayeslab_tpu.schedulers.pndm import pndm_rows
+from sonicdiffusionbayeslab_tpu.schedulers.unipc import unipc_rows
 from sonicdiffusionbayeslab_tpu.schedulers.schedule import (
     NoiseSchedule,
     ScheduleConfig,
@@ -41,6 +42,7 @@ __all__ = [
     "DPMSolverScheduler",
     "LCMScheduler",
     "PNDMScheduler",
+    "UniPCScheduler",
     "two_scheduler_plan",
     "interleave_plan",
     "skip_plan",
@@ -270,6 +272,51 @@ class LCMScheduler(_PlanBuilder):
             prediction_type=self.config.prediction_type,
         )
         return stack_rows(rows, name=f"lcm(n={num_steps})")
+
+
+@schedulers_registry.add_to_registry("unipc_scheduler")
+class UniPCScheduler(_PlanBuilder):
+    """UniPC multistep (beyond-reference; see schedulers/unipc.py)."""
+
+    NAME = "unipc"
+
+    def __init__(
+        self,
+        schedule_config=None,
+        prediction_type=None,
+        solver_order: int = 2,
+        variant: str = "bh2",
+        use_corrector: bool = True,
+        lower_order_final: bool = True,
+        final_sigmas_type: str = "zero",
+    ):
+        super().__init__(schedule_config, prediction_type)
+        if solver_order < 1:
+            raise ValueError(f"solver_order must be >= 1, got {solver_order}")
+        self.solver_order = int(solver_order)
+        self.variant = variant
+        self.use_corrector = bool(use_corrector)
+        self.lower_order_final = bool(lower_order_final)
+        self.final_sigmas_type = final_sigmas_type
+
+    def build_plan(self, num_steps: int) -> SamplePlan:
+        ts = self.timesteps(num_steps)
+        ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
+        rows = unipc_rows(
+            self.schedule,
+            ladder,
+            range(len(ts)),
+            solver_order=self.solver_order,
+            variant=self.variant,
+            use_corrector=self.use_corrector,
+            lower_order_final=self.lower_order_final,
+            prediction_type=self.config.prediction_type,
+        )
+        return stack_rows(
+            rows,
+            name=f"unipc{self.solver_order}-{self.variant}(n={num_steps})",
+            hist_depth=self.solver_order + 1,
+        )
 
 
 @schedulers_registry.add_to_registry("pndm_scheduler")

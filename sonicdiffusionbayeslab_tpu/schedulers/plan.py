@@ -14,15 +14,18 @@ in the hot loop.
 
 Per-step update applied by the runtime (all in fp32):
 
-    m    = cm_sample * x + cm_eps * eps        # "converted model output"
-    x0   = cx_sample * x + cx_eps * eps        # x0 prediction (introspection)
-    hist = push ? shift_in(hist, m) : hist     # multistep history ring
-    base = use_saved ? saved : x
-    x'   = w_sample * base + w_eps * eps + sum_k w_hist[k] * hist[k]
-           + w_noise * noise
-    saved = save_cur ? x : saved
+    m     = cm_sample * x + cm_eps * eps       # "converted model output"
+    x0    = cx_sample * x + cx_eps * eps       # x0 prediction (introspection)
+    hist  = push ? shift_in(hist, m) : hist    # multistep history ring
+    x'    = w_sample * x + w_saved * saved + w_eps * eps
+            + sum_k w_hist[k] * hist[k] + w_noise * noise
+    saved = s_x * x + s_saved * saved + sum_k s_hist[k] * hist[k]
 
-History convention: ``hist[0]`` is the most recent pushed entry.
+History convention: ``hist[0]`` is the most recent pushed entry.  The saved
+buffer is itself a linear combination per step, which is what lets
+predictor-corrector methods (UniPC) fuse their two chained linear updates
+into one row; the Boolean convenience flags ``use_saved`` / ``save_cur``
+(PNDM/PLMS semantics) are translated into these weights at stack time.
 """
 
 from __future__ import annotations
@@ -47,10 +50,39 @@ class StepRow:
     cx_sample: float = 0.0
     cx_eps: float = 1.0
     push: bool = True
-    use_saved: bool = False
-    save_cur: bool = False
+    use_saved: bool = False  # convenience: x' base = saved instead of x
+    save_cur: bool = False  # convenience: saved' = x
+    # General saved-buffer weights (override the Boolean flags when set):
+    w_saved: Optional[float] = None  # saved's weight in x'
+    s_x: Optional[float] = None  # saved' = s_x*x + s_saved*saved + s_hist.hist
+    s_saved: Optional[float] = None
+    s_hist: tuple = ()
     scheduler: str = ""  # provenance label (debug/tests only)
     tag: str = ""  # provenance label (e.g. "phase1", "inter")
+
+    def resolved_saved_weights(self):
+        """(wx, w_saved, s_x, s_saved, s_hist): the general form of this
+        row's saved-buffer interaction, translating the Boolean flags."""
+        explicit = any(v is not None for v in (self.w_saved, self.s_x, self.s_saved)) or self.s_hist
+        if explicit:
+            if self.use_saved or self.save_cur:
+                raise ValueError("mix of Boolean saved flags and explicit saved weights")
+            return (
+                self.w_sample,
+                self.w_saved or 0.0,
+                self.s_x or 0.0,
+                1.0 if self.s_saved is None else self.s_saved,
+                tuple(self.s_hist),
+            )
+        if self.use_saved:
+            wx, wsv = 0.0, self.w_sample
+        else:
+            wx, wsv = self.w_sample, 0.0
+        if self.save_cur:
+            sx, ssv = 1.0, 0.0
+        else:
+            sx, ssv = 0.0, 1.0
+        return wx, wsv, sx, ssv, ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,8 +105,10 @@ class SamplePlan:
     cx_sample: np.ndarray
     cx_eps: np.ndarray
     push: np.ndarray  # float32 0/1
-    use_saved: np.ndarray
-    save_cur: np.ndarray
+    w_saved: np.ndarray  # saved's weight in x'
+    s_x: np.ndarray  # saved' update weights
+    s_saved: np.ndarray
+    s_hist: np.ndarray  # [L, H]
     rows: tuple = dataclasses.field(default=(), repr=False, compare=False)
 
     # -- static facts -------------------------------------------------------
@@ -97,7 +131,11 @@ class SamplePlan:
 
     @property
     def has_saved(self) -> bool:
-        return bool(np.any(self.use_saved != 0.0) or np.any(self.save_cur != 0.0))
+        return bool(
+            np.any(self.w_saved != 0.0)
+            or np.any(self.s_x != 0.0)
+            or np.any(self.s_hist != 0.0)
+        )
 
     def scan_xs(self) -> Dict[str, np.ndarray]:
         """Per-step arrays fed as the xs of ``jax.lax.scan``."""
@@ -112,22 +150,31 @@ class SamplePlan:
             "cx_sample": self.cx_sample,
             "cx_eps": self.cx_eps,
             "push": self.push,
-            "use_saved": self.use_saved,
-            "save_cur": self.save_cur,
+            "w_saved": self.w_saved,
+            "s_x": self.s_x,
+            "s_saved": self.s_saved,
+            "s_hist": self.s_hist,
         }
 
 
 def stack_rows(rows: List[StepRow], name: str, hist_depth: Optional[int] = None) -> SamplePlan:
     if not rows:
         raise ValueError("empty plan")
-    depth = hist_depth if hist_depth is not None else max((len(r.w_hist) for r in rows), default=0)
+    depth = hist_depth if hist_depth is not None else max(
+        (max(len(r.w_hist), len(r.s_hist)) for r in rows), default=0
+    )
     depth = max(depth, 1)
     L = len(rows)
     w_hist = np.zeros((L, depth), dtype=np.float32)
+    s_hist = np.zeros((L, depth), dtype=np.float32)
+    saved_w = np.zeros((L, 4), dtype=np.float32)  # wx, w_saved, s_x, s_saved
     for i, r in enumerate(rows):
-        if len(r.w_hist) > depth:
-            raise ValueError(f"row {i} uses {len(r.w_hist)} hist slots > depth {depth}")
+        if max(len(r.w_hist), len(r.s_hist)) > depth:
+            raise ValueError(f"row {i} uses more hist slots than depth {depth}")
         w_hist[i, : len(r.w_hist)] = np.asarray(r.w_hist, dtype=np.float32)
+        wx, wsv, sx, ssv, sh = r.resolved_saved_weights()
+        saved_w[i] = (wx, wsv, sx, ssv)
+        s_hist[i, : len(sh)] = np.asarray(sh, dtype=np.float32)
 
     def f(field):
         return np.asarray([getattr(r, field) for r in rows], dtype=np.float32)
@@ -135,7 +182,7 @@ def stack_rows(rows: List[StepRow], name: str, hist_depth: Optional[int] = None)
     return SamplePlan(
         name=name,
         timesteps=np.asarray([r.timestep for r in rows], dtype=np.int32),
-        w_sample=f("w_sample"),
+        w_sample=saved_w[:, 0],
         w_eps=f("w_eps"),
         w_hist=w_hist,
         w_noise=f("w_noise"),
@@ -144,8 +191,10 @@ def stack_rows(rows: List[StepRow], name: str, hist_depth: Optional[int] = None)
         cx_sample=f("cx_sample"),
         cx_eps=f("cx_eps"),
         push=f("push"),
-        use_saved=f("use_saved"),
-        save_cur=f("save_cur"),
+        w_saved=saved_w[:, 1],
+        s_x=saved_w[:, 2],
+        s_saved=saved_w[:, 3],
+        s_hist=s_hist,
         rows=tuple(rows),
     )
 
@@ -166,16 +215,18 @@ def reference_apply(plan: SamplePlan, sample: np.ndarray, eps_fn, noise_fn=None,
         x0 = r.cx_sample * x + r.cx_eps * eps
         if r.push:
             hist = [m] + hist[:-1]
-        base = saved if r.use_saved else x
-        new = r.w_sample * base + r.w_eps * eps
+        wx, wsv, sx, ssv, sh = r.resolved_saved_weights()
+        new = wx * x + wsv * saved + r.w_eps * eps
         for k, w in enumerate(r.w_hist):
             new = new + w * hist[k]
         if r.w_noise:
             if noise_fn is None:
                 raise ValueError("plan needs noise but no noise_fn given")
             new = new + r.w_noise * np.asarray(noise_fn(i, x.shape), dtype=np.float64)
-        if r.save_cur:
-            saved = x
+        new_saved = sx * x + ssv * saved
+        for k, w in enumerate(sh):
+            new_saved = new_saved + w * hist[k]
+        saved = new_saved
         x = new
         if collect_x0:
             x0s.append(x0)

@@ -51,14 +51,14 @@ def apply_row(
     pushed = jnp.concatenate([m[None], carry.hist[:-1]], axis=0)
     hist = jnp.where(xs["push"] > 0, pushed, carry.hist)
 
-    if carry.saved is not None:
-        base = jnp.where(xs["use_saved"] > 0, carry.saved, x)
-        saved = jnp.where(xs["save_cur"] > 0, x, carry.saved)
-    else:
-        base, saved = x, None
-
-    new = xs["w_sample"] * base + xs["w_eps"] * eps
+    new = xs["w_sample"] * x + xs["w_eps"] * eps
     new = new + jnp.einsum("h,h...->...", xs["w_hist"], hist)
+    if carry.saved is not None:
+        new = new + xs["w_saved"] * carry.saved
+        saved = xs["s_x"] * x + xs["s_saved"] * carry.saved
+        saved = saved + jnp.einsum("h,h...->...", xs["s_hist"], hist)
+    else:
+        saved = None
     if noise is not None:
         new = new + xs["w_noise"] * noise
 
