@@ -68,6 +68,27 @@ class DPMSolverMethod(BaseMethod):
             }
 
 
+@methods_registry.add_to_registry("unipc")
+class UniPCMethod(BaseMethod):
+    """UniPC step sweep (beyond-reference scheduler; schedulers/unipc.py).
+    Same sweep shape as dpm_solver so the two are directly comparable."""
+
+    def setup_scheduler(self) -> None:
+        self.model.scheduler = self.build_scheduler(
+            self.config.scheduler.get("scheduler_name", "unipc_scheduler"),
+            solver_order=int(self.params.get("solver_order", 2)),
+            variant=self.params.get("variant", "bh2"),
+            use_corrector=bool(self.params.get("use_corrector", True)),
+        )
+
+    def grid(self) -> Iterable[dict]:
+        for steps in self.params.get("num_inference_steps", [20]):
+            yield {
+                "label": f"steps_{steps}",
+                "call_kw": {"num_inference_steps": int(steps), "use_x0": True},
+            }
+
+
 @methods_registry.add_to_registry("deep_cache")
 class DeepCacheMethod(BaseMethod):
     """DeepCache sweep: (cache_interval x steps) grid (reference

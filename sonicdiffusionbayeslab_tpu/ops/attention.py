@@ -45,21 +45,18 @@ def _xla_attention(q, k, v, mask=None):
 def dot_product_attention(q, k, v, mask=None):
     """Heads-separate attention: q [B, N, H, D], k/v [B, M, H, D].
 
-    Backend resolution order: explicit set_attention_backend / SDBL_ATTENTION
-    env; else Pallas flash on TPU for self-attention-sized inputs, XLA
-    otherwise.
+    Backend resolution: explicit set_attention_backend / SDBL_ATTENTION env;
+    auto = XLA.  Measured end-to-end on a v5e chip at SD-1.5 512px shapes,
+    XLA's fused attention beats the Pallas kernel by ~18% (11.1k vs 9.3k
+    images/hour) even though the kernel wins some shapes in isolation: the
+    pallas_call boundary forces layout materialization (moveaxis/pad) and
+    blocks cross-op fusion inside the UNet.  The kernel remains opt-in
+    (SDBL_ATTENTION=pallas) — it is the blockwise base a context-parallel
+    axis would build on (SURVEY §5 long-context note).
     """
     backend = get_attention_backend()
-    if backend == "pallas" or (
-        backend is None and jax.default_backend() == "tpu" and mask is None and _flash_ok(q, k)
-    ):
+    if backend == "pallas" and mask is None:
         from sonicdiffusionbayeslab_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v)
     return _xla_attention(q, k, v, mask=mask)
-
-
-def _flash_ok(q, k) -> bool:
-    # Engage the Pallas kernel where it pays: enough query rows to tile.
-    # (The kernel pads head_dim/KV length itself.)
-    return q.shape[1] >= 256

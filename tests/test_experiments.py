@@ -143,8 +143,11 @@ def _smoke_config(tmp_path, method, model, extra_params, scheduler=None, extra_m
         ("interliving_schedulers", "stable_diffusion_model_interliving_schedulers",
          {"scheduler_main": "dpm_solver_scheduler", "scheduler_inter": "dpm_solver_scheduler"},
          {"solver_order": 2, "num_inference_steps": [8], "interliving_steps": [[1]]}),
+        ("unipc", "stable_diffusion_model",
+         {"scheduler_name": "unipc_scheduler"},
+         {"solver_order": 2, "num_inference_steps": [3]}),
     ],
-    ids=["dpm", "two_sched", "skip", "deepcache", "lcm", "interleave"],
+    ids=["dpm", "two_sched", "skip", "deepcache", "lcm", "interleave", "unipc"],
 )
 def test_method_end_to_end(tmp_path, monkeypatch, method, model, scheduler, params):
     monkeypatch.chdir(Path(__file__).parent.parent)
