@@ -103,13 +103,19 @@ class _ClipBackend:
         p = Path(path)
         if not p.exists():
             return  # hub model-id string with no local snapshot: keep random init
-        # Full HF CLIPModel conversion lands with the weight-converter
-        # extension; orbax-format params are supported today.
         ckpt = p / "flax_params"
-        if ckpt.exists():
+        if ckpt.exists():  # pre-converted orbax cache
             from sonicdiffusionbayeslab_tpu.models.weights import load_params
 
             self.params = load_params(ckpt)
+            return
+        from sonicdiffusionbayeslab_tpu.models.weights import load_clip_checkpoint
+
+        self.params = load_clip_checkpoint(
+            p, self.params,
+            vision_layers=self.model.vision_config.num_layers,
+            text_layers=self.model.text_config.num_layers,
+        )
 
     def scores(self, images: np.ndarray, prompts: Sequence[str]) -> np.ndarray:
         ids = self.tokenizer(list(prompts))

@@ -195,26 +195,66 @@ def vae_name_map(n_levels: int, layers_per_block: int) -> Dict[str, Tuple[str, T
 
 
 # ------------------------------------------------------------ CLIP text map
-def clip_text_name_map(num_layers: int) -> Dict[str, Tuple[str, Transform, Transform]]:
+def _clip_layer_entries(m, src: str, dst: str) -> None:
+    """One HF CLIPEncoderLayer -> our CLIPLayer (shared by text/vision)."""
+    for a in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        m[f"{dst}/attn/{a}/kernel"] = (f"{src}.self_attn.{a}.weight", _lin, _lin)
+        m[f"{dst}/attn/{a}/bias"] = (f"{src}.self_attn.{a}.bias", _id, _id)
+    for mine, theirs in (("ln1", "layer_norm1"), ("ln2", "layer_norm2")):
+        m[f"{dst}/{mine}/scale"] = (f"{src}.{theirs}.weight", _id, _id)
+        m[f"{dst}/{mine}/bias"] = (f"{src}.{theirs}.bias", _id, _id)
+    for fc in ("fc1", "fc2"):
+        m[f"{dst}/{fc}/kernel"] = (f"{src}.mlp.{fc}.weight", _lin, _lin)
+        m[f"{dst}/{fc}/bias"] = (f"{src}.mlp.{fc}.bias", _id, _id)
+
+
+def clip_text_name_map(
+    num_layers: int, src_prefix: str = "text_model", dst_prefix: str = ""
+) -> Dict[str, Tuple[str, Transform, Transform]]:
     m: Dict[str, Tuple[str, Transform, Transform]] = {}
-    p = "text_model"
-    m["token_embedding/embedding"] = (f"{p}.embeddings.token_embedding.weight", _id, _id)
-    m["position_embedding"] = (f"{p}.embeddings.position_embedding.weight", _id, _id)
+    p, d = src_prefix, (dst_prefix + "/" if dst_prefix else "")
+    m[f"{d}token_embedding/embedding"] = (f"{p}.embeddings.token_embedding.weight", _id, _id)
+    m[f"{d}position_embedding"] = (f"{p}.embeddings.position_embedding.weight", _id, _id)
     for i in range(num_layers):
-        src = f"{p}.encoder.layers.{i}"
-        dst = f"layer_{i}"
-        for a in ("q_proj", "k_proj", "v_proj", "out_proj"):
-            m[f"{dst}/attn/{a}/kernel"] = (f"{src}.self_attn.{a}.weight", _lin, _lin)
-            m[f"{dst}/attn/{a}/bias"] = (f"{src}.self_attn.{a}.bias", _id, _id)
-        for mine, theirs in (("ln1", "layer_norm1"), ("ln2", "layer_norm2")):
-            m[f"{dst}/{mine}/scale"] = (f"{src}.{theirs}.weight", _id, _id)
-            m[f"{dst}/{mine}/bias"] = (f"{src}.{theirs}.bias", _id, _id)
-        for fc in ("fc1", "fc2"):
-            m[f"{dst}/{fc}/kernel"] = (f"{src}.mlp.{fc}.weight", _lin, _lin)
-            m[f"{dst}/{fc}/bias"] = (f"{src}.mlp.{fc}.bias", _id, _id)
-    m["final_ln/scale"] = (f"{p}.final_layer_norm.weight", _id, _id)
-    m["final_ln/bias"] = (f"{p}.final_layer_norm.bias", _id, _id)
+        _clip_layer_entries(m, f"{p}.encoder.layers.{i}", f"{d}layer_{i}")
+    m[f"{d}final_ln/scale"] = (f"{p}.final_layer_norm.weight", _id, _id)
+    m[f"{d}final_ln/bias"] = (f"{p}.final_layer_norm.bias", _id, _id)
     return m
+
+
+def clip_dual_name_map(vision_layers: int, text_layers: int) -> Dict[str, Tuple[str, Transform, Transform]]:
+    """HF ``CLIPModel`` state dict -> our ``CLIPDualEncoder`` tree (the
+    metric backend for CLIP score / FID fallback, metrics/metrics.py)."""
+    m = clip_text_name_map(text_layers, "text_model", "text")
+    p, d = "vision_model", "vision/"
+    m[f"{d}patch_embedding/kernel"] = (f"{p}.embeddings.patch_embedding.weight", _conv, _conv_inv)
+    m[f"{d}class_embedding"] = (f"{p}.embeddings.class_embedding", _id, _id)
+    m[f"{d}position_embedding"] = (f"{p}.embeddings.position_embedding.weight", _id, _id)
+    # HF's vision pre-LN attribute is literally spelled "pre_layrnorm".
+    m[f"{d}pre_ln/scale"] = (f"{p}.pre_layrnorm.weight", _id, _id)
+    m[f"{d}pre_ln/bias"] = (f"{p}.pre_layrnorm.bias", _id, _id)
+    for i in range(vision_layers):
+        _clip_layer_entries(m, f"{p}.encoder.layers.{i}", f"{d}layer_{i}")
+    m[f"{d}post_ln/scale"] = (f"{p}.post_layernorm.weight", _id, _id)
+    m[f"{d}post_ln/bias"] = (f"{p}.post_layernorm.bias", _id, _id)
+    m["visual_projection/kernel"] = ("visual_projection.weight", _lin, _lin)
+    m["text_projection/kernel"] = ("text_projection.weight", _lin, _lin)
+    return m
+
+
+def load_clip_checkpoint(snapshot_dir: str | Path, ref_params: dict, *,
+                         vision_layers: int, text_layers: int, dtype=np.float32) -> dict:
+    """HF CLIPModel snapshot dir (pytorch_model.bin / model.safetensors) ->
+    CLIPDualEncoder params validated against ``ref_params``' tree."""
+    snapshot_dir = Path(snapshot_dir)
+    for name in ("pytorch_model.bin", "model.safetensors"):
+        if (snapshot_dir / name).exists():
+            sd = load_torch_state_dict(snapshot_dir / name)
+            break
+    else:
+        raise FileNotFoundError(f"no CLIP checkpoint under {snapshot_dir}")
+    return convert(sd, clip_dual_name_map(vision_layers, text_layers),
+                   flatten(ref_params).keys(), dtype)
 
 
 # ---------------------------------------------------------------- plumbing

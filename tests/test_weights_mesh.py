@@ -171,3 +171,59 @@ def test_engine_sample_on_mesh(engine, params):
     )
     with pytest.raises(ValueError, match="divisible"):
         engine.sample(params, plan, emb[:3], neg[:3], key, latent_hw=(8, 8), mesh=mesh)
+
+
+def test_clip_dual_conversion_round_trip(tmp_path):
+    """CLIPDualEncoder (vision+text+projections) <-> HF CLIPModel layout,
+    exact round trip, plus the snapshot-dir loader and backend wiring."""
+    import torch
+
+    from sonicdiffusionbayeslab_tpu.models.clip_vision import CLIPDualEncoder, CLIPVisionConfig
+
+    vcfg, tcfg = CLIPVisionConfig.tiny(), CLIPTextConfig.tiny()
+    model = CLIPDualEncoder(vcfg, tcfg, projection_dim=16)
+    px = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+    ids = jnp.zeros((1, tcfg.max_length), jnp.int32)
+    tree = jax.tree.map(np.asarray, model.init(jax.random.PRNGKey(0), px, ids)["params"])
+
+    nm = W.clip_dual_name_map(vcfg.num_layers, tcfg.num_layers)
+    torch_sd = W.invert(tree, nm)
+    assert "vision_model.pre_layrnorm.weight" in torch_sd  # HF's spelling
+    back = W.convert(torch_sd, nm, W.flatten(tree).keys())
+    flat_a, flat_b = W.flatten(tree), W.flatten(back)
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k], err_msg=k)
+
+    # Snapshot-dir loader path (pytorch_model.bin).
+    torch.save({k: torch.tensor(v) for k, v in torch_sd.items()},
+               tmp_path / "pytorch_model.bin")
+    loaded = W.load_clip_checkpoint(
+        tmp_path, tree, vision_layers=vcfg.num_layers, text_layers=tcfg.num_layers
+    )
+    for k, v in W.flatten(loaded).items():
+        np.testing.assert_array_equal(v, flat_a[k], err_msg=k)
+
+
+def test_clip_backend_loads_snapshot(tmp_path):
+    """_ClipBackend._try_load picks up a torch snapshot dir end-to-end."""
+    import torch
+
+    from sonicdiffusionbayeslab_tpu.metrics.metrics import _ClipBackend
+    from sonicdiffusionbayeslab_tpu.models.clip_vision import CLIPDualEncoder, CLIPVisionConfig
+
+    vcfg, tcfg = CLIPVisionConfig.tiny(), CLIPTextConfig.tiny()
+    model = CLIPDualEncoder(vcfg, tcfg, projection_dim=16)
+    px = jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3))
+    ids = jnp.zeros((1, tcfg.max_length), jnp.int32)
+    tree = jax.tree.map(
+        np.asarray, model.init(jax.random.PRNGKey(7), px, ids)["params"])
+    nm = W.clip_dual_name_map(vcfg.num_layers, tcfg.num_layers)
+    torch.save({k: torch.tensor(v) for k, v in W.invert(tree, nm).items()},
+               tmp_path / "pytorch_model.bin")
+
+    backend = _ClipBackend(str(tmp_path), tiny=True)
+    got = W.flatten(jax.tree.map(np.asarray, backend.params))
+    want = W.flatten(tree)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
