@@ -243,15 +243,17 @@ class StableDiffusionEngine:
         )
 
         if mesh is not None:
-            # Data-parallel sampling: shard the batch axis over the mesh's
-            # 'data' axis (params are placed by the caller via
-            # parallel.shard_params); GSPMD propagates everything else.
-            from sonicdiffusionbayeslab_tpu.parallel import shard_batch
+            # Batch over 'data', latent spatial height over 'seq' (context
+            # parallelism — GSPMD inserts conv halo exchanges and attention
+            # gathers); params are placed by the caller via
+            # parallel.shard_params.  GSPMD propagates everything else.
+            from sonicdiffusionbayeslab_tpu.parallel import shard_batch, shard_latents
 
             n_data = mesh.shape.get("data", 1)
             if B % n_data:
                 raise ValueError(f"batch {B} not divisible by data axis {n_data}")
-            latents0, embeds = shard_batch(mesh, latents0, embeds)
+            latents0 = shard_latents(mesh, latents0)
+            embeds = shard_batch(mesh, embeds)
 
         xs = {k: jnp.asarray(v) for k, v in plan.scan_xs().items()}
         use_cache = cache_plan is not None

@@ -5,8 +5,10 @@ from sonicdiffusionbayeslab_tpu.parallel.distributed import (  # noqa: F401
 )
 from sonicdiffusionbayeslab_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    latent_sharding,
     make_mesh,
     param_sharding_rules,
     shard_batch,
+    shard_latents,
     shard_params,
 )

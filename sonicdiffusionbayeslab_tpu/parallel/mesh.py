@@ -27,15 +27,24 @@ def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    n_seq: int = 1,
 ) -> Mesh:
-    """('data', 'model') mesh. Defaults: all devices on the data axis."""
+    """('data', 'seq', 'model') mesh. Defaults: all devices on the data axis.
+
+    ``seq`` is the context/sequence-parallel axis: it shards the latent
+    spatial height, so one *sample* spans n_seq chips — GSPMD inserts the
+    conv halo exchanges and attention all-gathers.  Size 1 (the default)
+    degenerates to the plain DP(+TP) layout.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    if n_data * n_model != len(devices):
-        raise ValueError(f"mesh {n_data}x{n_model} != {len(devices)} devices")
-    arr = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(arr, ("data", "model"))
+        n_data = len(devices) // (n_model * n_seq)
+    if n_data * n_model * n_seq != len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_seq}x{n_model} != {len(devices)} devices"
+        )
+    arr = np.asarray(devices).reshape(n_data, n_seq, n_model)
+    return Mesh(arr, ("data", "seq", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -43,10 +52,21 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def latent_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, H, W, C] latents: batch over 'data', spatial height over 'seq'."""
+    if "seq" in mesh.shape and mesh.shape["seq"] > 1:
+        return NamedSharding(mesh, P("data", "seq"))
+    return batch_sharding(mesh)
+
+
 def shard_batch(mesh: Mesh, *arrays):
     s = batch_sharding(mesh)
     out = tuple(jax.device_put(a, s) for a in arrays)
     return out[0] if len(out) == 1 else out
+
+
+def shard_latents(mesh: Mesh, latents):
+    return jax.device_put(latents, latent_sharding(mesh))
 
 
 # --------------------------------------------------------------------- TP

@@ -227,3 +227,28 @@ def test_clip_backend_loads_snapshot(tmp_path):
     want = W.flatten(tree)
     for k in want:
         np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_engine_sample_seq_parallel(engine, params):
+    """('data','seq','model') = (2,2,2): context-parallel latent-height
+    sharding composed with DP and TP reproduces the single-device images
+    (GSPMD halo exchange for convs, gathers for attention)."""
+    from sonicdiffusionbayeslab_tpu.models.tokenizer import HashTokenizer
+    from sonicdiffusionbayeslab_tpu.schedulers import DPMSolverScheduler
+
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    plan = DPMSolverScheduler(solver_order=2).build_plan(3)
+    prompts = [f"prompt {i}" for i in range(4)]
+    emb = engine.encode_prompts(params, tok(prompts))
+    neg = engine.encode_prompts(params, tok([""] * 4))
+    key = jax.random.PRNGKey(29)
+
+    ref = engine.sample(params, plan, emb, neg, key, latent_hw=(8, 8))
+    mesh = make_mesh(n_data=2, n_model=2, n_seq=2)
+    assert mesh.shape == {"data": 2, "seq": 2, "model": 2}
+    with mesh:
+        p = shard_params(params, mesh)
+        out = engine.sample(p, plan, emb, neg, key, latent_hw=(8, 8), mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(out.images), np.asarray(ref.images), atol=2e-4
+    )
