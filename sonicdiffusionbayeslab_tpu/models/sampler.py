@@ -132,6 +132,7 @@ class StableDiffusionEngine:
         use_cache: bool,
         collect_x0: bool,
         cache_branch: int = 0,
+        init_scale: float = 1.0,
     ):
         unet = self.unet
 
@@ -141,7 +142,9 @@ class StableDiffusionEngine:
             def body(carry, xs):
                 sched: SchedulerCarry = carry["sched"]
                 lat = sched.latents
-                lat_in = jnp.concatenate([lat, lat]) if do_cfg else lat
+                # Model-input scaling (scale_model_input; 1.0 for VP plans).
+                lat_model = lat * xs["in_scale"]
+                lat_in = jnp.concatenate([lat_model, lat_model]) if do_cfg else lat_model
                 lat_in = lat_in.astype(unet.dtype)
 
                 tb = jnp.broadcast_to(xs["timestep"], (lat_in.shape[0],))
@@ -203,6 +206,8 @@ class StableDiffusionEngine:
 
         def init_carry_static(latents0):
             lat = latents0.astype(jnp.float32)
+            if init_scale != 1.0:  # sigma-space samplers (init_noise_sigma)
+                lat = lat * init_scale
             hist = jnp.zeros((hist_depth,) + lat.shape, jnp.float32)
             saved = jnp.zeros_like(lat) if has_saved else None
             return SchedulerCarry(lat, hist, saved)
@@ -274,6 +279,7 @@ class StableDiffusionEngine:
             use_cache,
             collect_x0,
             cache_plan.branch if use_cache else 0,
+            float(plan.init_scale),
         )
 
         step_key = jax.random.fold_in(key, 0x5EED)

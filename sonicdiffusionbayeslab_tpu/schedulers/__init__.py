@@ -25,6 +25,7 @@ from sonicdiffusionbayeslab_tpu.schedulers.plans import (  # noqa: F401
     skip_plan,
     two_scheduler_plan,
 )
+from sonicdiffusionbayeslab_tpu.schedulers.euler import euler_rows, init_noise_sigma
 from sonicdiffusionbayeslab_tpu.schedulers.pndm import pndm_rows
 from sonicdiffusionbayeslab_tpu.schedulers.unipc import unipc_rows
 from sonicdiffusionbayeslab_tpu.schedulers.schedule import (
@@ -43,6 +44,8 @@ __all__ = [
     "LCMScheduler",
     "PNDMScheduler",
     "UniPCScheduler",
+    "EulerScheduler",
+    "EulerAncestralScheduler",
     "two_scheduler_plan",
     "interleave_plan",
     "skip_plan",
@@ -317,6 +320,33 @@ class UniPCScheduler(_PlanBuilder):
             name=f"unipc{self.solver_order}-{self.variant}(n={num_steps})",
             hist_depth=self.solver_order + 1,
         )
+
+
+@schedulers_registry.add_to_registry("euler_scheduler")
+class EulerScheduler(_PlanBuilder):
+    """Euler discrete, sigma-space (beyond-reference; schedulers/euler.py)."""
+
+    NAME = "euler"
+    ANCESTRAL = False
+
+    def build_plan(self, num_steps: int) -> SamplePlan:
+        ts = self.timesteps(num_steps)
+        rows = euler_rows(
+            self.schedule, ts,
+            ancestral=self.ANCESTRAL,
+            prediction_type=self.config.prediction_type,
+        )
+        return stack_rows(
+            rows,
+            name=f"{self.NAME}(n={num_steps})",
+            init_scale=init_noise_sigma(self.schedule, ts),
+        )
+
+
+@schedulers_registry.add_to_registry("euler_ancestral_scheduler")
+class EulerAncestralScheduler(EulerScheduler):
+    NAME = "euler_ancestral"
+    ANCESTRAL = True
 
 
 @schedulers_registry.add_to_registry("pndm_scheduler")

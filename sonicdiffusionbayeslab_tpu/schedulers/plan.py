@@ -14,6 +14,8 @@ in the hot loop.
 
 Per-step update applied by the runtime (all in fp32):
 
+    eps   = model(in_scale * x, timestep)      # input scaling (sigma-space
+                                               # samplers; 1.0 for VP)
     m     = cm_sample * x + cm_eps * eps       # "converted model output"
     x0    = cx_sample * x + cx_eps * eps       # x0 prediction (introspection)
     hist  = push ? shift_in(hist, m) : hist    # multistep history ring
@@ -40,7 +42,8 @@ import numpy as np
 class StepRow:
     """One denoising step's coefficients (host-side, float64)."""
 
-    timestep: int  # UNet conditioning timestep
+    timestep: float  # UNet conditioning timestep (float for interpolated grids)
+    in_scale: float = 1.0  # model-input scale (scale_model_input; 1.0 for VP)
     w_sample: float = 0.0
     w_eps: float = 0.0
     w_hist: tuple = ()  # per-slot weights, slot 0 = most recent
@@ -95,7 +98,9 @@ class SamplePlan:
     """
 
     name: str
-    timesteps: np.ndarray  # int32 [L]
+    timesteps: np.ndarray  # float32 [L] (integral for VP grids)
+    in_scale: np.ndarray  # float32 [L] model-input scale
+    init_scale: float  # initial-latent scale (init_noise_sigma; 1.0 for VP)
     w_sample: np.ndarray
     w_eps: np.ndarray
     w_hist: np.ndarray  # [L, H]
@@ -141,6 +146,7 @@ class SamplePlan:
         """Per-step arrays fed as the xs of ``jax.lax.scan``."""
         return {
             "timestep": self.timesteps,
+            "in_scale": self.in_scale,
             "w_sample": self.w_sample,
             "w_eps": self.w_eps,
             "w_hist": self.w_hist,
@@ -157,7 +163,10 @@ class SamplePlan:
         }
 
 
-def stack_rows(rows: List[StepRow], name: str, hist_depth: Optional[int] = None) -> SamplePlan:
+def stack_rows(
+    rows: List[StepRow], name: str, hist_depth: Optional[int] = None,
+    init_scale: float = 1.0,
+) -> SamplePlan:
     if not rows:
         raise ValueError("empty plan")
     depth = hist_depth if hist_depth is not None else max(
@@ -181,7 +190,9 @@ def stack_rows(rows: List[StepRow], name: str, hist_depth: Optional[int] = None)
 
     return SamplePlan(
         name=name,
-        timesteps=np.asarray([r.timestep for r in rows], dtype=np.int32),
+        timesteps=np.asarray([r.timestep for r in rows], dtype=np.float32),
+        in_scale=f("in_scale"),
+        init_scale=float(init_scale),
         w_sample=saved_w[:, 0],
         w_eps=f("w_eps"),
         w_hist=w_hist,
@@ -205,12 +216,12 @@ def reference_apply(plan: SamplePlan, sample: np.ndarray, eps_fn, noise_fn=None,
 
     ``eps_fn(step_index, timestep, sample) -> model_output``.
     """
-    x = np.asarray(sample, dtype=np.float64)
+    x = np.asarray(sample, dtype=np.float64) * plan.init_scale
     hist = [np.zeros_like(x) for _ in range(plan.hist_depth)]
     saved = np.zeros_like(x)
     x0s = []
     for i, r in enumerate(plan.rows):
-        eps = np.asarray(eps_fn(i, r.timestep, x), dtype=np.float64)
+        eps = np.asarray(eps_fn(i, r.timestep, x * r.in_scale), dtype=np.float64)
         m = r.cm_sample * x + r.cm_eps * eps
         x0 = r.cx_sample * x + r.cx_eps * eps
         if r.push:

@@ -26,6 +26,8 @@ class SchedulerCarry(NamedTuple):
 
 def init_carry(plan: SamplePlan, latents: jax.Array) -> SchedulerCarry:
     latents = latents.astype(jnp.float32)
+    if plan.init_scale != 1.0:  # sigma-space samplers (init_noise_sigma)
+        latents = latents * plan.init_scale
     hist = jnp.zeros((plan.hist_depth,) + latents.shape, jnp.float32)
     saved = jnp.zeros_like(latents) if plan.has_saved else None
     return SchedulerCarry(latents, hist, saved)
@@ -81,7 +83,7 @@ def run_plan(
 
     def body(carry_rng, step_xs):
         carry, key = carry_rng
-        eps = eps_fn(step_xs["timestep"], carry.latents)
+        eps = eps_fn(step_xs["timestep"], step_xs["in_scale"] * carry.latents)
         noise = None
         if needs_noise:
             key, sub = jax.random.split(key)

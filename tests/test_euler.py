@@ -1,0 +1,133 @@
+"""Euler / Euler-Ancestral plan rows vs an independent sigma-space oracle."""
+
+import numpy as np
+import pytest
+
+from sonicdiffusionbayeslab_tpu.schedulers import EulerAncestralScheduler, EulerScheduler
+from sonicdiffusionbayeslab_tpu.schedulers.euler import euler_sigmas, init_noise_sigma
+from sonicdiffusionbayeslab_tpu.schedulers.plan import reference_apply
+from sonicdiffusionbayeslab_tpu.schedulers.schedule import (
+    NoiseSchedule,
+    ScheduleConfig,
+    space_timesteps,
+)
+
+
+def euler_oracle(schedule, ts, x_unit, eps_fn, ancestral=False, noise_fn=None):
+    """Mutable-state diffusers-style EulerDiscrete loop, float64."""
+    sig = euler_sigmas(schedule, ts)
+    x = np.asarray(x_unit, np.float64) * init_noise_sigma(schedule, ts)
+    for i, t in enumerate(float(v) for v in ts):
+        s, s_next = sig[i], sig[i + 1]
+        scaled = x / np.sqrt(s * s + 1.0)
+        eps = eps_fn(i, t, scaled)
+        x0 = x - s * eps
+        if ancestral and s_next > 0:
+            s_up = np.sqrt(s_next**2 * (s**2 - s_next**2) / s**2)
+            s_down = np.sqrt(s_next**2 - s_up**2)
+            d = (x - x0) / s
+            x = x + (s_down - s) * d + s_up * noise_fn(i, x.shape)
+        else:
+            d = (x - x0) / s
+            x = x + (s_next - s) * d
+    return x
+
+
+def _toy(num_steps):
+    cfg = ScheduleConfig()
+    schedule = NoiseSchedule.create(cfg)
+    ts = space_timesteps(num_steps, cfg.num_train_timesteps, cfg.timestep_spacing, cfg.steps_offset)
+    rng = np.random.default_rng(0)
+    x_unit = rng.standard_normal(5)
+
+    def eps_fn(i, t, scaled_x):
+        return np.tanh(scaled_x) * 0.4 + np.cos(t / 90.0) * 0.05
+
+    return schedule, ts, x_unit, eps_fn
+
+
+def test_euler_plan_matches_oracle():
+    schedule, ts, x_unit, eps_fn = _toy(8)
+    plan = EulerScheduler().build_plan(8)
+    got = reference_apply(plan, x_unit, eps_fn)
+    want = euler_oracle(schedule, ts, x_unit, eps_fn)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_euler_ancestral_matches_oracle():
+    schedule, ts, x_unit, eps_fn = _toy(8)
+    noise_bank = {i: np.random.default_rng(100 + i).standard_normal(5) for i in range(8)}
+
+    def noise_fn(i, shape):
+        return noise_bank[i]
+
+    plan = EulerAncestralScheduler().build_plan(8)
+    got = reference_apply(plan, x_unit, eps_fn, noise_fn=noise_fn)
+    want = euler_oracle(schedule, ts, x_unit, eps_fn, ancestral=True, noise_fn=noise_fn)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+    assert plan.needs_noise
+
+
+def test_euler_exact_model_converges():
+    """With a model whose x0-prediction is exactly x_target the final Euler
+    sample equals x_target (last step lands on sigma = 0)."""
+    cfg = ScheduleConfig()
+    schedule = NoiseSchedule.create(cfg)
+    num_steps = 6
+    ts = space_timesteps(num_steps, cfg.num_train_timesteps, cfg.timestep_spacing, cfg.steps_offset)
+    sig = euler_sigmas(schedule, ts)
+    x_target = np.array([0.3, -0.9])
+
+    def eps_fn(i, t, scaled_x):
+        s = sig[i]
+        x = scaled_x * np.sqrt(s * s + 1.0)  # undo in_scale
+        return (x - x_target) / s
+
+    plan = EulerScheduler().build_plan(num_steps)
+    final = reference_apply(plan, np.array([2.0, -1.0]), eps_fn)
+    np.testing.assert_allclose(final, x_target, atol=1e-8)
+
+
+def test_euler_init_scale_and_in_scale_arrays():
+    plan = EulerScheduler().build_plan(4)
+    # sqrt(sigma_max^2+1) over the run's schedule (leading@4 tops out at
+    # t=751, sigma~4.1); many-step schedules reach the full sigma_max~157.
+    assert plan.init_scale == pytest.approx(
+        np.sqrt(euler_sigmas(NoiseSchedule.create(ScheduleConfig()),
+                             space_timesteps(4, 1000, "leading", 1))[0] ** 2 + 1.0))
+    assert plan.init_scale > 2.0
+    # full SD schedule tops out at sigma_max ~14.6 (t=999)
+    assert EulerScheduler().build_plan(500).init_scale > 14.0
+    assert np.all(plan.in_scale < 1.0)
+    # VP plans keep the defaults.
+    from sonicdiffusionbayeslab_tpu.schedulers import DDIMScheduler
+
+    vp = DDIMScheduler().build_plan(4)
+    assert vp.init_scale == 1.0
+    assert np.all(vp.in_scale == 1.0)
+
+
+def test_euler_e2e_tiny_engine():
+    import jax
+    import jax.numpy as jnp
+
+    from sonicdiffusionbayeslab_tpu.models import (
+        CLIPTextConfig,
+        StableDiffusionEngine,
+        UNetConfig,
+        VAEConfig,
+    )
+    from sonicdiffusionbayeslab_tpu.models.tokenizer import HashTokenizer
+
+    engine = StableDiffusionEngine(
+        UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny(),
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    params = engine.init_params(seed=0, latent_hw=8)
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    emb = engine.encode_prompts(params, tok(["a boat"]))
+    neg = engine.encode_prompts(params, tok([""]))
+    for cls in (EulerScheduler, EulerAncestralScheduler):
+        plan = cls().build_plan(4)
+        out = engine.sample(params, plan, emb, neg, jax.random.PRNGKey(0), latent_hw=(8, 8))
+        assert np.isfinite(np.asarray(out.images)).all()
