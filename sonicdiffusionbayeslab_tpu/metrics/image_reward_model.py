@@ -316,4 +316,19 @@ def load_image_reward_weights(path: str, ref_params: dict, cfg: BLIPConfig) -> d
     for i, src_i in enumerate((0, 2, 4, 6)):
         hd[f"fc{i}"] = {"kernel": t(f"mlp.layers.{src_i}.weight"), "bias": g(f"mlp.layers.{src_i}.bias")}
     hd["out"] = {"kernel": t(f"mlp.layers.7.weight"), "bias": g(f"mlp.layers.7.bias")}
+
+    # Shape-validate the mapped tree against the module's own init tree so a
+    # wrong transpose / truncated checkpoint fails here, not at apply time.
+    from sonicdiffusionbayeslab_tpu.models.weights import flatten
+
+    ref_flat, out_flat = flatten(jax.tree.map(np.asarray, ref_params)), flatten(out)
+    if ref_flat.keys() != out_flat.keys():
+        extra = sorted(set(out_flat) ^ set(ref_flat))
+        raise ValueError(f"ImageReward weight map tree mismatch, e.g. {extra[:5]}")
+    bad = [k for k in ref_flat if ref_flat[k].shape != out_flat[k].shape]
+    if bad:
+        raise ValueError(
+            f"ImageReward weight map shape mismatch at {bad[:5]} "
+            f"(got {[out_flat[k].shape for k in bad[:5]]})"
+        )
     return out
