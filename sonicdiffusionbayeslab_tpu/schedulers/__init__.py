@@ -17,7 +17,12 @@ import numpy as np
 from sonicdiffusionbayeslab_tpu.registry import schedulers_registry
 from sonicdiffusionbayeslab_tpu.schedulers import plans  # noqa: F401  (re-export)
 from sonicdiffusionbayeslab_tpu.schedulers.ddim import ddim_rows, ddim_transition_row
-from sonicdiffusionbayeslab_tpu.schedulers.dpm import dpm_rows, make_ladder, simulate_orders
+from sonicdiffusionbayeslab_tpu.schedulers.dpm import (
+    dpm_rows,
+    make_karras_ladder,
+    make_ladder,
+    simulate_orders,
+)
 from sonicdiffusionbayeslab_tpu.schedulers.lcm import lcm_rows
 from sonicdiffusionbayeslab_tpu.schedulers.plan import SamplePlan, stack_rows
 from sonicdiffusionbayeslab_tpu.schedulers.plans import (  # noqa: F401
@@ -183,6 +188,7 @@ class DPMSolverScheduler(_PlanBuilder):
         final_sigmas_type: str = "zero",
         lower_order_final: bool = True,
         euler_at_final: bool = False,
+        use_karras_sigmas: bool = False,
     ):
         super().__init__(schedule_config, prediction_type)
         if solver_order not in (1, 2, 3):
@@ -193,6 +199,7 @@ class DPMSolverScheduler(_PlanBuilder):
         self.final_sigmas_type = final_sigmas_type
         self.lower_order_final = bool(lower_order_final)
         self.euler_at_final = bool(euler_at_final)
+        self.use_karras_sigmas = bool(use_karras_sigmas)
 
     def _kw(self):
         return dict(
@@ -206,10 +213,13 @@ class DPMSolverScheduler(_PlanBuilder):
         )
 
     def build_plan(self, num_steps: int) -> SamplePlan:
-        ts = self.timesteps(num_steps)
-        ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
-        rows = dpm_rows(self.schedule, ladder, range(len(ts)), **self._kw())
-        return stack_rows(rows, name=f"dpm{self.solver_order}(n={num_steps})", hist_depth=self.solver_order)
+        if self.use_karras_sigmas:
+            ladder = make_karras_ladder(self.schedule, num_steps, self.final_sigmas_type)
+        else:
+            ladder = make_ladder(self.schedule, self.timesteps(num_steps), self.final_sigmas_type)
+        rows = dpm_rows(self.schedule, ladder, range(num_steps), **self._kw())
+        kar = "-karras" if self.use_karras_sigmas else ""
+        return stack_rows(rows, name=f"dpm{self.solver_order}{kar}(n={num_steps})", hist_depth=self.solver_order)
 
     def transition_rows(self, ts, num_steps, executed, tag=""):
         ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
@@ -292,6 +302,7 @@ class UniPCScheduler(_PlanBuilder):
         use_corrector: bool = True,
         lower_order_final: bool = True,
         final_sigmas_type: str = "zero",
+        use_karras_sigmas: bool = False,
     ):
         super().__init__(schedule_config, prediction_type)
         if solver_order < 1:
@@ -301,23 +312,27 @@ class UniPCScheduler(_PlanBuilder):
         self.use_corrector = bool(use_corrector)
         self.lower_order_final = bool(lower_order_final)
         self.final_sigmas_type = final_sigmas_type
+        self.use_karras_sigmas = bool(use_karras_sigmas)
 
     def build_plan(self, num_steps: int) -> SamplePlan:
-        ts = self.timesteps(num_steps)
-        ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
+        if self.use_karras_sigmas:
+            ladder = make_karras_ladder(self.schedule, num_steps, self.final_sigmas_type)
+        else:
+            ladder = make_ladder(self.schedule, self.timesteps(num_steps), self.final_sigmas_type)
         rows = unipc_rows(
             self.schedule,
             ladder,
-            range(len(ts)),
+            range(num_steps),
             solver_order=self.solver_order,
             variant=self.variant,
             use_corrector=self.use_corrector,
             lower_order_final=self.lower_order_final,
             prediction_type=self.config.prediction_type,
         )
+        kar = "-karras" if self.use_karras_sigmas else ""
         return stack_rows(
             rows,
-            name=f"unipc{self.solver_order}-{self.variant}(n={num_steps})",
+            name=f"unipc{self.solver_order}-{self.variant}{kar}(n={num_steps})",
             hist_depth=self.solver_order + 1,
         )
 
@@ -329,17 +344,38 @@ class EulerScheduler(_PlanBuilder):
     NAME = "euler"
     ANCESTRAL = False
 
+    def __init__(self, schedule_config=None, prediction_type=None,
+                 use_karras_sigmas: bool = False):
+        super().__init__(schedule_config, prediction_type)
+        self.use_karras_sigmas = bool(use_karras_sigmas)
+
     def build_plan(self, num_steps: int) -> SamplePlan:
-        ts = self.timesteps(num_steps)
+        from sonicdiffusionbayeslab_tpu.schedulers.schedule import karras_sigmas, sigma_to_t
+
+        if self.use_karras_sigmas:
+            table = np.sqrt((1.0 - self.schedule.alphas_cumprod) / self.schedule.alphas_cumprod)
+            sig = karras_sigmas(float(table[0]), float(table[-1]), num_steps)
+            ts = sigma_to_t(self.schedule, sig)
+            sigmas = np.concatenate([sig, [0.0]])
+        else:
+            ts, sigmas = self.timesteps(num_steps), None
         rows = euler_rows(
             self.schedule, ts,
             ancestral=self.ANCESTRAL,
             prediction_type=self.config.prediction_type,
+            sigmas=sigmas,
         )
+        if sigmas is not None:
+            init = float(np.sqrt(sigmas[0] ** 2 + 1.0)
+                         if self.config.timestep_spacing not in ("linspace", "trailing")
+                         else sigmas[0])
+        else:
+            init = init_noise_sigma(self.schedule, ts)
+        kar = "-karras" if self.use_karras_sigmas else ""
         return stack_rows(
             rows,
-            name=f"{self.NAME}(n={num_steps})",
-            init_scale=init_noise_sigma(self.schedule, ts),
+            name=f"{self.NAME}{kar}(n={num_steps})",
+            init_scale=init,
         )
 
 

@@ -50,18 +50,38 @@ class DpmLadder:
             return np.log(self.alpha) - np.log(self.sigma_t)
 
 
+def _final_sigma(schedule: NoiseSchedule, final_sigmas_type: str) -> float:
+    if final_sigmas_type == "zero":
+        return 0.0
+    if final_sigmas_type == "sigma_min":
+        a0 = schedule.alphas_cumprod[0]
+        return float(np.sqrt((1.0 - a0) / a0))
+    raise ValueError(f"unknown final_sigmas_type {final_sigmas_type!r}")
+
+
 def make_ladder(
     schedule: NoiseSchedule, ts: Sequence[int], final_sigmas_type: str = "zero"
 ) -> DpmLadder:
     ts = np.asarray(ts, dtype=np.int64)
     sig = schedule.kar_sigma(ts)
-    if final_sigmas_type == "zero":
-        last = 0.0
-    elif final_sigmas_type == "sigma_min":
-        a0 = schedule.alphas_cumprod[0]
-        last = float(np.sqrt((1.0 - a0) / a0))
-    else:
-        raise ValueError(f"unknown final_sigmas_type {final_sigmas_type!r}")
+    last = _final_sigma(schedule, final_sigmas_type)
+    return DpmLadder(ts=ts, sigmas=np.concatenate([sig, [last]]).astype(np.float64))
+
+
+def make_karras_ladder(
+    schedule: NoiseSchedule, num_steps: int, final_sigmas_type: str = "zero",
+    rho: float = 7.0,
+) -> DpmLadder:
+    """Karras-spaced ladder: sigmas from the EDM rho-grid over the training
+    table's [sigma_min, sigma_max]; conditioning timesteps are the
+    fractional log-sigma-interpolated positions (diffusers
+    ``use_karras_sigmas=True`` semantics)."""
+    from sonicdiffusionbayeslab_tpu.schedulers.schedule import karras_sigmas, sigma_to_t
+
+    table = np.sqrt((1.0 - schedule.alphas_cumprod) / schedule.alphas_cumprod)
+    sig = karras_sigmas(float(table[0]), float(table[-1]), num_steps, rho)
+    ts = sigma_to_t(schedule, sig)
+    last = _final_sigma(schedule, final_sigmas_type)
     return DpmLadder(ts=ts, sigmas=np.concatenate([sig, [last]]).astype(np.float64))
 
 
@@ -226,7 +246,7 @@ def dpm_rows(
             lower_order_nums0=lower_order_nums0,
         )
     if unet_timesteps is None:
-        unet_timesteps = [int(ladder.ts[p]) for p in positions]
+        unet_timesteps = [float(ladder.ts[p]) for p in positions]
 
     alpha, sig_t, lam, sig = ladder.alpha, ladder.sigma_t, ladder.lam, ladder.sigmas
     is_pp = algorithm_type.endswith("++")
@@ -271,7 +291,7 @@ def dpm_rows(
 
         rows.append(
             StepRow(
-                timestep=int(unet_timesteps[k]),
+                timestep=float(unet_timesteps[k]),
                 w_sample=float(w_sample),
                 w_eps=0.0,
                 w_hist=tuple(float(x) for x in w_m[:max(solver_order, order)]),

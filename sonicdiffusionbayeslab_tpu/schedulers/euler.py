@@ -50,9 +50,10 @@ def euler_rows(
     *,
     ancestral: bool = False,
     prediction_type: str = "epsilon",
+    sigmas: np.ndarray | None = None,  # override (Karras grid); len(ts)+1
     tag: str = "",
 ) -> List[StepRow]:
-    sig = euler_sigmas(schedule, ts)
+    sig = euler_sigmas(schedule, ts) if sigmas is None else np.asarray(sigmas, np.float64)
     rows: List[StepRow] = []
     for i, t in enumerate(float(x) for x in ts):
         s, s_next = sig[i], sig[i + 1]

@@ -67,9 +67,16 @@ class NoiseSchedule:
         betas = make_betas(cfg)
         return cls(config=cfg, alphas_cumprod=np.cumprod(1.0 - betas))
 
-    # -- per-timestep quantities (t may be an int or int array) ------------
+    # -- per-timestep quantities (t may be an int/float scalar or array;
+    # floats must be integral — plan rows carry float32 timesteps) ----------
     def acp(self, t) -> np.ndarray:
-        return self.alphas_cumprod[np.asarray(t)]
+        idx = np.asarray(t)
+        if idx.dtype.kind == "f":
+            r = np.round(idx)
+            if not np.allclose(idx, r, atol=1e-3):
+                raise ValueError(f"fractional timestep {t!r} has no alphas_cumprod entry")
+            idx = r.astype(np.int64)
+        return self.alphas_cumprod[idx]
 
     def acp_or_final(self, t) -> np.ndarray:
         """alphas_cumprod[t], with t < 0 mapping to the final (t=-1) value:
@@ -111,6 +118,22 @@ def space_timesteps(
     else:
         raise ValueError(f"unknown timestep_spacing {spacing!r}")
     return ts.astype(np.int64)
+
+
+def karras_sigmas(sigma_min: float, sigma_max: float, num_steps: int, rho: float = 7.0) -> np.ndarray:
+    """Karras et al. 2022 (EDM) sigma grid, descending, length ``num_steps``."""
+    ramp = np.linspace(0.0, 1.0, num_steps, dtype=np.float64)
+    inv_min, inv_max = sigma_min ** (1.0 / rho), sigma_max ** (1.0 / rho)
+    return (inv_max + ramp * (inv_min - inv_max)) ** rho
+
+
+def sigma_to_t(schedule: NoiseSchedule, sigma) -> np.ndarray:
+    """Fractional training timestep for a Karras sigma via log-sigma
+    interpolation over the training table (diffusers ``_sigma_to_t``)."""
+    table = np.sqrt((1.0 - schedule.alphas_cumprod) / schedule.alphas_cumprod)
+    log_table = np.log(table)
+    log_sigma = np.log(np.asarray(sigma, np.float64))
+    return np.interp(log_sigma, log_table, np.arange(len(table), dtype=np.float64))
 
 
 def x0_conversion_coeffs(schedule: NoiseSchedule, t: int, prediction_type: str):

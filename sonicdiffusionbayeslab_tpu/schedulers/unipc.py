@@ -166,7 +166,7 @@ def unipc_rows(
         if k == 0 or not use_corrector:
             rows.append(
                 StepRow(
-                    timestep=int(ladder.ts[pos]),
+                    timestep=float(ladder.ts[pos]),
                     w_sample=float(Cs),
                     w_hist=tuple(float(x) for x in w_hist),
                     cm_sample=float(cm[0]),
@@ -189,7 +189,7 @@ def unipc_rows(
         s_hist[: len(B)] += B
         rows.append(
             StepRow(
-                timestep=int(ladder.ts[pos]),
+                timestep=float(ladder.ts[pos]),
                 w_sample=0.0,
                 w_hist=tuple(float(x) for x in (Cs * s_hist + w_hist)),
                 cm_sample=float(cm[0]),

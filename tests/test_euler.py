@@ -131,3 +131,75 @@ def test_euler_e2e_tiny_engine():
         plan = cls().build_plan(4)
         out = engine.sample(params, plan, emb, neg, jax.random.PRNGKey(0), latent_hw=(8, 8))
         assert np.isfinite(np.asarray(out.images)).all()
+
+
+def test_karras_sigma_grid_and_t_mapping():
+    from sonicdiffusionbayeslab_tpu.schedulers.schedule import karras_sigmas, sigma_to_t
+
+    cfg = ScheduleConfig()
+    schedule = NoiseSchedule.create(cfg)
+    table = np.sqrt((1.0 - schedule.alphas_cumprod) / schedule.alphas_cumprod)
+    sig = karras_sigmas(float(table[0]), float(table[-1]), 10)
+    assert sig[0] == pytest.approx(float(table[-1]))   # sigma_max first
+    assert sig[-1] == pytest.approx(float(table[0]))   # sigma_min last
+    assert np.all(np.diff(sig) < 0)
+    # EDM rho-7 formula midpoint check.
+    rho = 7.0
+    i, n = 4, 10
+    want = (table[-1] ** (1 / rho) + i / (n - 1) * (table[0] ** (1 / rho) - table[-1] ** (1 / rho))) ** rho
+    assert sig[i] == pytest.approx(want)
+    # sigma->t inverts the table at integral points.
+    ts = np.array([1, 250, 500, 999])
+    np.testing.assert_allclose(sigma_to_t(schedule, table[ts]), ts, atol=1e-6)
+
+
+def test_karras_schedulers_run_and_differ():
+    from sonicdiffusionbayeslab_tpu.schedulers import DPMSolverScheduler, UniPCScheduler
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4)
+
+    def eps_fn(i, t, xin):
+        return np.tanh(xin) * 0.3
+
+    for cls in (DPMSolverScheduler, UniPCScheduler, EulerScheduler, EulerAncestralScheduler):
+        uni = cls().build_plan(8)
+        kar = cls(use_karras_sigmas=True).build_plan(8)
+        assert "karras" in kar.name
+        # Fractional conditioning timesteps, still descending.
+        assert np.all(np.diff(kar.timesteps) < 0)
+        nf = lambda p: reference_apply(
+            p, x, eps_fn,
+            noise_fn=(lambda i, s: np.zeros(s)) if p.needs_noise else None)
+        a, b = nf(uni), nf(kar)
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        assert np.abs(a - b).max() > 1e-8  # different grids -> different path
+
+
+def test_euler_karras_matches_inline_oracle():
+    from sonicdiffusionbayeslab_tpu.schedulers.schedule import karras_sigmas, sigma_to_t
+
+    cfg = ScheduleConfig()
+    schedule = NoiseSchedule.create(cfg)
+    table = np.sqrt((1.0 - schedule.alphas_cumprod) / schedule.alphas_cumprod)
+    n = 7
+    sig = np.concatenate([karras_sigmas(float(table[0]), float(table[-1]), n), [0.0]])
+    ts = sigma_to_t(schedule, sig[:-1])
+
+    rng = np.random.default_rng(1)
+    x_unit = rng.standard_normal(3)
+
+    def eps_fn(i, t, scaled):
+        return np.sin(scaled) * 0.2 + 0.01 * t / 1000.0
+
+    # Inline sigma-space Euler with the karras grid.
+    x = x_unit * np.sqrt(sig[0] ** 2 + 1.0)
+    for i in range(n):
+        s, s2 = sig[i], sig[i + 1]
+        eps = eps_fn(i, float(ts[i]), x / np.sqrt(s * s + 1.0))
+        x0 = x - s * eps
+        x = x + (s2 - s) * (x - x0) / s
+
+    plan = EulerScheduler(use_karras_sigmas=True).build_plan(n)
+    got = reference_apply(plan, x_unit, eps_fn)
+    np.testing.assert_allclose(got, x, rtol=1e-9, atol=1e-11)

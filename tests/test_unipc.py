@@ -173,7 +173,7 @@ def test_unipc_corrector_improves_accuracy():
     acp = schedule.alphas_cumprod
 
     def eps_fn(k, t, x):
-        a, s = np.sqrt(acp[t]), np.sqrt(1.0 - acp[t])
+        a, s = np.sqrt(acp[int(t)]), np.sqrt(1.0 - acp[int(t)])
         return (x - a * x_target) / s
 
     x_init = np.array([3.0, -2.0, 0.5])
