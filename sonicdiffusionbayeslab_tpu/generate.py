@@ -23,6 +23,8 @@ def main() -> None:
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--scheduler", default="dpm_solver_scheduler")
     p.add_argument("--solver_order", type=int, default=2)
+    p.add_argument("--scheduler_kwargs", default="{}",
+                   help='JSON, e.g. \'{"use_karras_sigmas": true}\'')
     p.add_argument("--seed", type=int, default=29)
     p.add_argument("--pretrained_model", default="runwayml/stable-diffusion-v1-5")
     p.add_argument("--image_size", type=int, default=512)
@@ -44,7 +46,10 @@ def main() -> None:
         image_size=args.image_size,
         tiny=args.tiny,
     )
+    import json
+
     skw = {"solver_order": args.solver_order} if args.scheduler == "dpm_solver_scheduler" else {}
+    skw.update(json.loads(args.scheduler_kwargs))
     model.scheduler = schedulers_registry[args.scheduler](**skw)
     if args.cache_interval > 0:
         model.cache_plan_fn = lambda n: CachePlan.every(n, args.cache_interval, args.cache_branch_id)

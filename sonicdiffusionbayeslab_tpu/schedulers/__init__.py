@@ -30,7 +30,7 @@ from sonicdiffusionbayeslab_tpu.schedulers.plans import (  # noqa: F401
     skip_plan,
     two_scheduler_plan,
 )
-from sonicdiffusionbayeslab_tpu.schedulers.euler import euler_rows, init_noise_sigma
+from sonicdiffusionbayeslab_tpu.schedulers.euler import euler_rows, heun_rows, init_noise_sigma
 from sonicdiffusionbayeslab_tpu.schedulers.pndm import pndm_rows
 from sonicdiffusionbayeslab_tpu.schedulers.unipc import unipc_rows
 from sonicdiffusionbayeslab_tpu.schedulers.schedule import (
@@ -51,6 +51,7 @@ __all__ = [
     "UniPCScheduler",
     "EulerScheduler",
     "EulerAncestralScheduler",
+    "HeunScheduler",
     "two_scheduler_plan",
     "interleave_plan",
     "skip_plan",
@@ -383,6 +384,35 @@ class EulerScheduler(_PlanBuilder):
 class EulerAncestralScheduler(EulerScheduler):
     NAME = "euler_ancestral"
     ANCESTRAL = True
+
+
+@schedulers_registry.add_to_registry("heun_scheduler")
+class HeunScheduler(EulerScheduler):
+    """Heun 2nd-order (2 NFE per transition; schedulers/euler.py)."""
+
+    NAME = "heun"
+
+    def build_plan(self, num_steps: int) -> SamplePlan:
+        from sonicdiffusionbayeslab_tpu.schedulers.schedule import karras_sigmas, sigma_to_t
+
+        if self.use_karras_sigmas:
+            table = np.sqrt((1.0 - self.schedule.alphas_cumprod) / self.schedule.alphas_cumprod)
+            sig = karras_sigmas(float(table[0]), float(table[-1]), num_steps)
+            ts = sigma_to_t(self.schedule, sig)
+            sigmas = np.concatenate([sig, [0.0]])
+            init = float(np.sqrt(sigmas[0] ** 2 + 1.0)
+                         if self.config.timestep_spacing not in ("linspace", "trailing")
+                         else sigmas[0])
+        else:
+            ts, sigmas = self.timesteps(num_steps), None
+            init = init_noise_sigma(self.schedule, ts)
+        rows = heun_rows(
+            self.schedule, ts,
+            prediction_type=self.config.prediction_type,
+            sigmas=sigmas,
+        )
+        kar = "-karras" if self.use_karras_sigmas else ""
+        return stack_rows(rows, name=f"heun{kar}(n={num_steps})", init_scale=init)
 
 
 @schedulers_registry.add_to_registry("pndm_scheduler")

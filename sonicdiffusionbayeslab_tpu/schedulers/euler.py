@@ -100,6 +100,59 @@ def euler_rows(
     return rows
 
 
+def heun_rows(
+    schedule: NoiseSchedule,
+    ts: np.ndarray,
+    *,
+    prediction_type: str = "epsilon",
+    sigmas: np.ndarray | None = None,
+    tag: str = "",
+) -> List[StepRow]:
+    """Heun's 2nd-order method (diffusers HeunDiscrete): each sigma
+    transition costs two model evals — an Euler predictor row that also
+    saves the start sample, then a trapezoidal corrector row evaluated at
+    the *target* sigma:
+
+        x_mid   = (s'/s) x + (1 - s'/s) x0_1          (predictor, saves x)
+        x_next  = x + (s'-s)/2 * (d1 + d2),
+        d1 = (x - m1)/s,  d2 = (x_mid - m2)/s'
+
+    Both rows are linear in (x, saved, hist) — see plan.py.  The final
+    transition (s' = 0) is a single Euler row, so NFE = 2*num_steps - 1.
+    """
+    if prediction_type != "epsilon":
+        raise NotImplementedError("heun rows support epsilon prediction only")
+    sig = euler_sigmas(schedule, ts) if sigmas is None else np.asarray(sigmas, np.float64)
+    rows: List[StepRow] = []
+    for i, t in enumerate(float(x) for x in ts):
+        s, s2 = sig[i], sig[i + 1]
+        ratio = s2 / s
+        common = dict(cm_sample=1.0, cx_sample=1.0, push=True, scheduler="heun", tag=tag)
+        if s2 == 0.0:  # last transition: plain Euler
+            rows.append(StepRow(
+                timestep=t, in_scale=float(1.0 / np.sqrt(s * s + 1.0)),
+                w_sample=float(ratio), w_hist=(float(1.0 - ratio),),
+                cm_eps=float(-s), cx_eps=float(-s), **common,
+            ))
+            continue
+        t_next = float(ts[i + 1]) if i + 1 < len(ts) else 0.0
+        rows.append(StepRow(  # predictor (Euler to s2), saves x
+            timestep=t, in_scale=float(1.0 / np.sqrt(s * s + 1.0)),
+            w_sample=float(ratio), w_hist=(float(1.0 - ratio),),
+            cm_eps=float(-s), cx_eps=float(-s), save_cur=True, **common,
+        ))
+        half = (s2 - s) / 2.0
+        rows.append(StepRow(  # corrector at s2 from the saved start sample
+            timestep=t_next, in_scale=float(1.0 / np.sqrt(s2 * s2 + 1.0)),
+            w_sample=float(half / s2),
+            w_saved=float(1.0 + half / s),
+            w_hist=(float(-half / s2), float(-half / s)),
+            s_x=0.0, s_saved=1.0,
+            cm_eps=float(-s2), cx_eps=float(-s2), **common,
+        ))
+    return rows
+
+
 def init_noise_sigma(schedule: NoiseSchedule, ts: np.ndarray) -> float:
     """diffusers EulerDiscrete.init_noise_sigma for leading/default spacing."""
     sig_max = float(euler_sigmas(schedule, ts)[0])

@@ -203,3 +203,73 @@ def test_euler_karras_matches_inline_oracle():
     plan = EulerScheduler(use_karras_sigmas=True).build_plan(n)
     got = reference_apply(plan, x_unit, eps_fn)
     np.testing.assert_allclose(got, x, rtol=1e-9, atol=1e-11)
+
+
+def heun_oracle(schedule, ts, x_unit, eps_fn):
+    """Mutable diffusers-style HeunDiscrete loop, float64.  eps_fn(t, scaled)."""
+    sig = euler_sigmas(schedule, ts)
+    x = np.asarray(x_unit, np.float64) * init_noise_sigma(schedule, ts)
+    for i, t in enumerate(float(v) for v in ts):
+        s, s2 = sig[i], sig[i + 1]
+        eps1 = eps_fn(t, x / np.sqrt(s * s + 1.0))
+        x0_1 = x - s * eps1
+        d1 = (x - x0_1) / s
+        x_mid = x + (s2 - s) * d1
+        if s2 == 0.0:
+            x = x_mid
+            continue
+        t2 = float(ts[i + 1])
+        eps2 = eps_fn(t2, x_mid / np.sqrt(s2 * s2 + 1.0))
+        x0_2 = x_mid - s2 * eps2
+        d2 = (x_mid - x0_2) / s2
+        x = x + (s2 - s) * 0.5 * (d1 + d2)
+    return x
+
+
+def test_heun_plan_matches_oracle():
+    from sonicdiffusionbayeslab_tpu.schedulers import HeunScheduler
+
+    schedule, ts, x_unit, _ = _toy(6)
+
+    def eps_fn(t, scaled):
+        return np.tanh(scaled) * 0.4 + np.cos(t / 90.0) * 0.05
+
+    plan = HeunScheduler().build_plan(6)
+    assert plan.num_steps == 2 * 6 - 1  # NFE accounting
+    got = reference_apply(plan, x_unit, lambda i, t, xin: eps_fn(t, xin))
+    want = heun_oracle(schedule, ts, x_unit, eps_fn)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_heun_more_accurate_than_euler():
+    """On a curved model Heun's endpoint is closer to a fine-grid Euler
+    reference.  Trailing spacing so every grid covers the same sigma range
+    (leading spacing tops out at a step-count-dependent timestep, which
+    would make coarse and fine runs integrate different ranges)."""
+    from sonicdiffusionbayeslab_tpu.schedulers import HeunScheduler
+
+    scfg = {"timestep_spacing": "trailing"}
+    cfg = ScheduleConfig(timestep_spacing="trailing")
+    schedule = NoiseSchedule.create(cfg)
+    x_unit = np.array([1.1, -0.7])
+
+    def eps_fn(i, t, scaled):
+        return np.tanh(scaled * 0.7) * 0.5
+
+    ts_fine = space_timesteps(1000, 1000, "trailing", 0)
+    truth = euler_oracle(schedule, ts_fine, x_unit,
+                         lambda i, t, s: eps_fn(i, t, s))
+    coarse = 6
+    e = reference_apply(EulerScheduler(schedule_config=scfg).build_plan(coarse), x_unit, eps_fn)
+    h = reference_apply(HeunScheduler(schedule_config=scfg).build_plan(coarse), x_unit, eps_fn)
+    # Measured: euler 0.578 vs heun 0.154 at n=6 on this model.
+    assert np.abs(h - truth).max() < 0.5 * np.abs(e - truth).max()
+
+
+def test_heun_karras_runs():
+    from sonicdiffusionbayeslab_tpu.schedulers import HeunScheduler
+
+    plan = HeunScheduler(use_karras_sigmas=True).build_plan(5)
+    assert "karras" in plan.name
+    got = reference_apply(plan, np.ones(3), lambda i, t, x: 0.2 * x)
+    assert np.isfinite(got).all()
