@@ -32,6 +32,8 @@ def main() -> None:
     p.add_argument("--tiny", action="store_true", help="tiny random-weight model (smoke)")
     p.add_argument("--cache_interval", type=int, default=0, help="DeepCache interval (0=off)")
     p.add_argument("--cache_branch_id", type=int, default=0, help="DeepCache split depth")
+    p.add_argument("--init_image", default=None, help="img2img source image path")
+    p.add_argument("--strength", type=float, default=0.8, help="img2img noising strength")
     args = p.parse_args()
 
     from sonicdiffusionbayeslab_tpu.data.imageio import write_png
@@ -54,12 +56,22 @@ def main() -> None:
     if args.cache_interval > 0:
         model.cache_plan_fn = lambda n: CachePlan.every(n, args.cache_interval, args.cache_branch_id)
 
+    call_kw = {}
+    if args.init_image:
+        from sonicdiffusionbayeslab_tpu.data.imageio import read_image
+        import numpy as np
+
+        img = read_image(args.init_image, image_size=args.image_size if not args.tiny else 16)
+        call_kw["init_image"] = np.repeat(img[None], len(args.prompt), axis=0)
+        call_kw["strength"] = args.strength
+
     images, exec_time, _ = model(
         args.prompt,
         num_inference_steps=args.steps,
         guidance_scale=args.guidance_scale,
         negative_prompt=[args.negative_prompt] * len(args.prompt),
         key=jax.random.PRNGKey(args.seed),
+        **call_kw,
     )
     for i, img in enumerate(images):
         path = args.out.format(i=i)

@@ -100,12 +100,32 @@ class StableDiffusionModel:
         negative_prompt: Optional[Sequence[str]] = None,
         use_x0: bool = False,
         output_type: str = "np",
+        init_image: Optional[np.ndarray] = None,  # img2img: [B,H,W,3] in [0,1]
+        strength: float = 0.8,
         **plan_kw,
     ):
         """Returns (images [B,H,W,3] in [0,1], execution_time, x0_images)."""
         if key is None:
             key = jax.random.PRNGKey(0)
-        plan = self.build_plan(num_inference_steps, **plan_kw)
+        init_latents = None
+        if init_image is not None:
+            # img2img (diffusers strength semantics): run only the last
+            # round(n * strength) steps, seeding with the encoded image
+            # noised to the start step's level in the plan's native space.
+            if self.scheduler is None or not hasattr(self.scheduler, "tail_plan"):
+                raise RuntimeError("img2img needs a scheduler with tail_plan")
+            n = int(num_inference_steps)
+            start = max(n - min(int(n * strength), n), 0)
+            if start >= n:
+                raise ValueError(f"strength {strength} leaves no steps to run")
+            plan = self.scheduler.tail_plan(n, start)
+            img = jnp.asarray(init_image, jnp.float32)
+            key, enc_key, noise_key = jax.random.split(key, 3)
+            z = self.engine.encode_image_fn(self.params["vae"], img, enc_key)
+            noise = jax.random.normal(noise_key, z.shape, jnp.float32)
+            init_latents = self.scheduler.noised_latents(z, noise, n, start)
+        else:
+            plan = self.build_plan(num_inference_steps, **plan_kw)
         self.num_timesteps = plan.nfe
 
         embeds = self._encode(list(prompt))
@@ -127,6 +147,7 @@ class StableDiffusionModel:
             latent_hw=(self.latent_hw, self.latent_hw),
             collect_x0=use_x0,
             decode=output_type != "latent",
+            init_latents=init_latents,
         )
         images = np.asarray(out.images) if out.images is not None else np.asarray(out.latents)
         x0 = np.asarray(out.x0_images) if out.x0_images is not None else None

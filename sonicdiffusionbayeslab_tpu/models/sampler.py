@@ -119,6 +119,19 @@ class StableDiffusionEngine:
 
         return decode
 
+    # ------------------------------------------------------------- encode (img2img)
+    @functools.cached_property
+    def encode_image_fn(self):
+        @jax.jit
+        def encode(vae_params, images, rng):
+            """images [B, H, W, 3] in [0, 1] -> scaled latents [B, h, w, 4]."""
+            x = images * 2.0 - 1.0
+            return self.vae.apply(
+                {"params": vae_params}, x, rng, method=self.vae.encode_sample
+            )
+
+        return encode
+
     # ------------------------------------------------------------ denoise
     @functools.lru_cache(maxsize=64)
     def _denoise_fn(
@@ -230,6 +243,7 @@ class StableDiffusionEngine:
         collect_x0: bool = False,
         decode: bool = True,
         mesh=None,
+        init_latents: Optional[jax.Array] = None,  # img2img: pre-noised seed
     ) -> SampleOutput:
         """Generate images for one batch. Returns reference-contract output:
         (images, execution_time of the denoise loop only, optional x0 decodes)
@@ -243,9 +257,14 @@ class StableDiffusionEngine:
         if sample_indices is None:
             sample_indices = np.arange(B)
         lat_shape = (latent_hw[0], latent_hw[1], self.unet_config.in_channels)
-        latents0 = rng_util.per_sample_latents(
-            key, jnp.asarray(sample_indices, jnp.int32), lat_shape
-        )
+        if init_latents is not None:  # img2img: caller noised to plan start
+            latents0 = jnp.asarray(init_latents, jnp.float32)
+            if latents0.shape != (B,) + lat_shape:
+                raise ValueError(f"init_latents {latents0.shape} != {(B,) + lat_shape}")
+        else:
+            latents0 = rng_util.per_sample_latents(
+                key, jnp.asarray(sample_indices, jnp.int32), lat_shape
+            )
 
         if mesh is not None:
             # Batch over 'data', latent spatial height over 'seq' (context

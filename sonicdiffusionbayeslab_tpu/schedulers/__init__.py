@@ -87,6 +87,23 @@ class _PlanBuilder:
     def build_plan(self, num_steps: int) -> SamplePlan:
         raise NotImplementedError
 
+    # ---- img2img hooks ----------------------------------------------------
+    def tail_plan(self, num_steps: int, start_index: int) -> SamplePlan:
+        """Plan executing only steps[start_index:] of an num_steps schedule
+        (img2img / strength semantics).  Default: row slicing — correct for
+        memoryless-row samplers (DDIM, Euler family, LCM); multistep
+        builders override to re-simulate their warm-up from the start row."""
+        if start_index == 0:
+            return self.build_plan(num_steps)
+        return self.build_plan(num_steps).tail(start_index)
+
+    def noised_latents(self, z, noise, num_steps: int, start_index: int):
+        """Seed latents for ``tail_plan``: z noised to the start step's
+        level in this sampler's native space (VP default: a_t z + s_t eps)."""
+        t = int(self.timesteps(num_steps)[start_index])
+        a, s = self.schedule.alpha_sigma(t)
+        return float(a) * z + float(s) * noise
+
     # Composer hooks; overridden where supported.
     def transition_rows(self, ts, num_steps, executed, tag=""):
         raise NotImplementedError(f"{self.NAME} cannot be composed this way")
@@ -213,14 +230,28 @@ class DPMSolverScheduler(_PlanBuilder):
             euler_at_final=self.euler_at_final,
         )
 
-    def build_plan(self, num_steps: int) -> SamplePlan:
+    def _ladder(self, num_steps: int):
         if self.use_karras_sigmas:
-            ladder = make_karras_ladder(self.schedule, num_steps, self.final_sigmas_type)
-        else:
-            ladder = make_ladder(self.schedule, self.timesteps(num_steps), self.final_sigmas_type)
-        rows = dpm_rows(self.schedule, ladder, range(num_steps), **self._kw())
+            return make_karras_ladder(self.schedule, num_steps, self.final_sigmas_type)
+        return make_ladder(self.schedule, self.timesteps(num_steps), self.final_sigmas_type)
+
+    def build_plan(self, num_steps: int) -> SamplePlan:
+        return self.tail_plan(num_steps, 0)
+
+    def tail_plan(self, num_steps: int, start_index: int) -> SamplePlan:
+        # Re-simulate from the start row (empty history -> order warm-up),
+        # exactly what a freshly-seeded multistep scheduler would do.
+        ladder = self._ladder(num_steps)
+        rows = dpm_rows(self.schedule, ladder, range(start_index, num_steps), **self._kw())
         kar = "-karras" if self.use_karras_sigmas else ""
-        return stack_rows(rows, name=f"dpm{self.solver_order}{kar}(n={num_steps})", hist_depth=self.solver_order)
+        sfx = f"[{start_index}:]" if start_index else ""
+        return stack_rows(rows, name=f"dpm{self.solver_order}{kar}(n={num_steps}){sfx}",
+                          hist_depth=self.solver_order)
+
+    def noised_latents(self, z, noise, num_steps: int, start_index: int):
+        ladder = self._ladder(num_steps)
+        a, st = float(ladder.alpha[start_index]), float(ladder.sigma_t[start_index])
+        return a * z + st * noise
 
     def transition_rows(self, ts, num_steps, executed, tag=""):
         ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
@@ -315,15 +346,20 @@ class UniPCScheduler(_PlanBuilder):
         self.final_sigmas_type = final_sigmas_type
         self.use_karras_sigmas = bool(use_karras_sigmas)
 
-    def build_plan(self, num_steps: int) -> SamplePlan:
+    def _ladder(self, num_steps: int):
         if self.use_karras_sigmas:
-            ladder = make_karras_ladder(self.schedule, num_steps, self.final_sigmas_type)
-        else:
-            ladder = make_ladder(self.schedule, self.timesteps(num_steps), self.final_sigmas_type)
+            return make_karras_ladder(self.schedule, num_steps, self.final_sigmas_type)
+        return make_ladder(self.schedule, self.timesteps(num_steps), self.final_sigmas_type)
+
+    def build_plan(self, num_steps: int) -> SamplePlan:
+        return self.tail_plan(num_steps, 0)
+
+    def tail_plan(self, num_steps: int, start_index: int) -> SamplePlan:
+        ladder = self._ladder(num_steps)
         rows = unipc_rows(
             self.schedule,
             ladder,
-            range(num_steps),
+            range(start_index, num_steps),
             solver_order=self.solver_order,
             variant=self.variant,
             use_corrector=self.use_corrector,
@@ -331,11 +367,17 @@ class UniPCScheduler(_PlanBuilder):
             prediction_type=self.config.prediction_type,
         )
         kar = "-karras" if self.use_karras_sigmas else ""
+        sfx = f"[{start_index}:]" if start_index else ""
         return stack_rows(
             rows,
-            name=f"unipc{self.solver_order}-{self.variant}{kar}(n={num_steps})",
+            name=f"unipc{self.solver_order}-{self.variant}{kar}(n={num_steps}){sfx}",
             hist_depth=self.solver_order + 1,
         )
+
+    def noised_latents(self, z, noise, num_steps: int, start_index: int):
+        ladder = self._ladder(num_steps)
+        a, st = float(ladder.alpha[start_index]), float(ladder.sigma_t[start_index])
+        return a * z + st * noise
 
 
 @schedulers_registry.add_to_registry("euler_scheduler")
@@ -350,7 +392,9 @@ class EulerScheduler(_PlanBuilder):
         super().__init__(schedule_config, prediction_type)
         self.use_karras_sigmas = bool(use_karras_sigmas)
 
-    def build_plan(self, num_steps: int) -> SamplePlan:
+    def _grid(self, num_steps: int):
+        """(ts, sigmas[len+1], init_noise_sigma) for the full schedule."""
+        from sonicdiffusionbayeslab_tpu.schedulers.euler import euler_sigmas
         from sonicdiffusionbayeslab_tpu.schedulers.schedule import karras_sigmas, sigma_to_t
 
         if self.use_karras_sigmas:
@@ -359,25 +403,35 @@ class EulerScheduler(_PlanBuilder):
             ts = sigma_to_t(self.schedule, sig)
             sigmas = np.concatenate([sig, [0.0]])
         else:
-            ts, sigmas = self.timesteps(num_steps), None
+            ts = self.timesteps(num_steps)
+            sigmas = euler_sigmas(self.schedule, ts)
+        init = float(sigmas[0] if self.config.timestep_spacing in ("linspace", "trailing")
+                     else np.sqrt(sigmas[0] ** 2 + 1.0))
+        return ts, sigmas, init
+
+    def build_plan(self, num_steps: int) -> SamplePlan:
+        return self.tail_plan(num_steps, 0)
+
+    def tail_plan(self, num_steps: int, start_index: int) -> SamplePlan:
+        ts, sigmas, init = self._grid(num_steps)
         rows = euler_rows(
-            self.schedule, ts,
+            self.schedule, ts[start_index:],
             ancestral=self.ANCESTRAL,
             prediction_type=self.config.prediction_type,
-            sigmas=sigmas,
+            sigmas=sigmas[start_index:],
         )
-        if sigmas is not None:
-            init = float(np.sqrt(sigmas[0] ** 2 + 1.0)
-                         if self.config.timestep_spacing not in ("linspace", "trailing")
-                         else sigmas[0])
-        else:
-            init = init_noise_sigma(self.schedule, ts)
         kar = "-karras" if self.use_karras_sigmas else ""
+        sfx = f"[{start_index}:]" if start_index else ""
         return stack_rows(
             rows,
-            name=f"{self.NAME}{kar}(n={num_steps})",
-            init_scale=init,
+            name=f"{self.NAME}{kar}(n={num_steps}){sfx}",
+            init_scale=init if start_index == 0 else 1.0,
         )
+
+    def noised_latents(self, z, noise, num_steps: int, start_index: int):
+        """sigma-space seeding: x = z + sigma_start * noise."""
+        _, sigmas, _ = self._grid(num_steps)
+        return z + float(sigmas[start_index]) * noise
 
 
 @schedulers_registry.add_to_registry("euler_ancestral_scheduler")
@@ -392,27 +446,17 @@ class HeunScheduler(EulerScheduler):
 
     NAME = "heun"
 
-    def build_plan(self, num_steps: int) -> SamplePlan:
-        from sonicdiffusionbayeslab_tpu.schedulers.schedule import karras_sigmas, sigma_to_t
-
-        if self.use_karras_sigmas:
-            table = np.sqrt((1.0 - self.schedule.alphas_cumprod) / self.schedule.alphas_cumprod)
-            sig = karras_sigmas(float(table[0]), float(table[-1]), num_steps)
-            ts = sigma_to_t(self.schedule, sig)
-            sigmas = np.concatenate([sig, [0.0]])
-            init = float(np.sqrt(sigmas[0] ** 2 + 1.0)
-                         if self.config.timestep_spacing not in ("linspace", "trailing")
-                         else sigmas[0])
-        else:
-            ts, sigmas = self.timesteps(num_steps), None
-            init = init_noise_sigma(self.schedule, ts)
+    def tail_plan(self, num_steps: int, start_index: int) -> SamplePlan:
+        ts, sigmas, init = self._grid(num_steps)
         rows = heun_rows(
-            self.schedule, ts,
+            self.schedule, ts[start_index:],
             prediction_type=self.config.prediction_type,
-            sigmas=sigmas,
+            sigmas=sigmas[start_index:],
         )
         kar = "-karras" if self.use_karras_sigmas else ""
-        return stack_rows(rows, name=f"heun{kar}(n={num_steps})", init_scale=init)
+        sfx = f"[{start_index}:]" if start_index else ""
+        return stack_rows(rows, name=f"heun{kar}(n={num_steps}){sfx}",
+                          init_scale=init if start_index == 0 else 1.0)
 
 
 @schedulers_registry.add_to_registry("pndm_scheduler")
@@ -427,3 +471,10 @@ class PNDMScheduler(_PlanBuilder):
             self.schedule, num_steps, prediction_type=self.config.prediction_type
         )
         return stack_rows(rows, name=f"pndm(n={num_steps})", hist_depth=4)
+
+    def tail_plan(self, num_steps: int, start_index: int) -> SamplePlan:
+        if start_index:
+            raise NotImplementedError(
+                "img2img tails are not defined for PLMS's duplicated warm-up step"
+            )
+        return self.build_plan(num_steps)

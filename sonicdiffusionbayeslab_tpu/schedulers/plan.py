@@ -142,6 +142,24 @@ class SamplePlan:
             or np.any(self.s_hist != 0.0)
         )
 
+    def tail(self, start_index: int) -> "SamplePlan":
+        """Sub-plan executing rows[start_index:] — the img2img entry point.
+
+        ``init_scale`` resets to 1.0: the caller seeds the run with latents
+        already noised to the start row's level in the plan's native space
+        (VP: a_t z + s_t eps; sigma-space: z + sigma eps — see the
+        schedulers' ``noised_latents``)."""
+        if not self.rows:
+            raise ValueError("plan has no retained rows to slice")
+        if not 0 <= start_index < len(self.rows):
+            raise ValueError(f"start_index {start_index} out of range [0, {len(self.rows)})")
+        return stack_rows(
+            list(self.rows[start_index:]),
+            name=f"{self.name}[{start_index}:]",
+            hist_depth=self.hist_depth,
+            init_scale=1.0,
+        )
+
     def scan_xs(self) -> Dict[str, np.ndarray]:
         """Per-step arrays fed as the xs of ``jax.lax.scan``."""
         return {

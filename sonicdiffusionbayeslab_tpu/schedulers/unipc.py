@@ -139,9 +139,11 @@ def unipc_rows(
     ``positions`` must be consecutive from 0 (the corrector couples steps).
     """
     positions = [int(p) for p in positions]
-    if positions != list(range(len(positions))):
-        raise ValueError("UniPC requires consecutive ladder positions from 0")
+    if positions != list(range(positions[0], positions[0] + len(positions))):
+        raise ValueError("UniPC requires consecutive ladder positions")
     L = len(positions)
+    # Orders ramp from 1 at the first *executed* step (history is empty
+    # there regardless of the start position — img2img tails included).
     orders = unipc_orders(L, solver_order, lower_order_final)
     depth = solver_order + 1  # corrector reads hist[order] at most
 
