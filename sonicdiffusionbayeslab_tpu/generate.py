@@ -34,6 +34,8 @@ def main() -> None:
     p.add_argument("--cache_branch_id", type=int, default=0, help="DeepCache split depth")
     p.add_argument("--init_image", default=None, help="img2img source image path")
     p.add_argument("--strength", type=float, default=0.8, help="img2img noising strength")
+    p.add_argument("--mask_image", default=None,
+                   help="inpainting mask path (white = regenerate); needs --init_image")
     args = p.parse_args()
 
     from sonicdiffusionbayeslab_tpu.data.imageio import write_png
@@ -61,9 +63,14 @@ def main() -> None:
         from sonicdiffusionbayeslab_tpu.data.imageio import read_image
         import numpy as np
 
-        img = read_image(args.init_image, image_size=args.image_size if not args.tiny else 16)
+        size = args.image_size if not args.tiny else 16
+        img = read_image(args.init_image, image_size=size)
         call_kw["init_image"] = np.repeat(img[None], len(args.prompt), axis=0)
         call_kw["strength"] = args.strength
+        if args.mask_image:
+            m = read_image(args.mask_image, image_size=size).mean(axis=-1, keepdims=True)
+            call_kw["mask_image"] = np.repeat((m > 0.5).astype(np.float32)[None],
+                                              len(args.prompt), axis=0)
 
     images, exec_time, _ = model(
         args.prompt,

@@ -102,12 +102,16 @@ class StableDiffusionModel:
         output_type: str = "np",
         init_image: Optional[np.ndarray] = None,  # img2img: [B,H,W,3] in [0,1]
         strength: float = 0.8,
+        mask_image: Optional[np.ndarray] = None,  # inpaint: [B,H,W(,1)], 1=regenerate
         **plan_kw,
     ):
         """Returns (images [B,H,W,3] in [0,1], execution_time, x0_images)."""
         if key is None:
             key = jax.random.PRNGKey(0)
+        if mask_image is not None and init_image is None:
+            raise ValueError("mask_image requires init_image")
         init_latents = None
+        blend = None
         if init_image is not None:
             # img2img (diffusers strength semantics): run only the last
             # round(n * strength) steps, seeding with the encoded image
@@ -124,6 +128,17 @@ class StableDiffusionModel:
             z = self.engine.encode_image_fn(self.params["vae"], img, enc_key)
             noise = jax.random.normal(noise_key, z.shape, jnp.float32)
             init_latents = self.scheduler.noised_latents(z, noise, n, start)
+            if mask_image is not None:
+                # Inpainting: per-step masked blend with the re-noised source
+                # (legacy masked-img2img; mask 1 = regenerate region).
+                m = jnp.asarray(mask_image, jnp.float32)
+                if m.ndim == 3:
+                    m = m[..., None]
+                m = jax.image.resize(m, (m.shape[0],) + z.shape[1:3] + (1,), "nearest")
+                blend_a, blend_s = self.scheduler.blend_schedule(n, start)
+                if len(blend_a) != plan.num_steps:
+                    raise RuntimeError("blend schedule misaligned with plan rows")
+                blend = (m, z, blend_a, blend_s)
         else:
             plan = self.build_plan(num_inference_steps, **plan_kw)
         self.num_timesteps = plan.nfe
@@ -148,6 +163,7 @@ class StableDiffusionModel:
             collect_x0=use_x0,
             decode=output_type != "latent",
             init_latents=init_latents,
+            blend=blend,
         )
         images = np.asarray(out.images) if out.images is not None else np.asarray(out.latents)
         x0 = np.asarray(out.x0_images) if out.x0_images is not None else None

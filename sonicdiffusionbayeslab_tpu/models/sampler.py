@@ -146,11 +146,18 @@ class StableDiffusionEngine:
         collect_x0: bool,
         cache_branch: int = 0,
         init_scale: float = 1.0,
+        use_blend: bool = False,
     ):
         unet = self.unet
 
-        def denoise(unet_params, latents0, embeds, plan_xs, guidance, rescale, key):
-            """latents0 [B,h,w,4] fp32; embeds [2B or B, T, C]; plan_xs dict of [L,...]."""
+        def denoise(unet_params, latents0, embeds, plan_xs, guidance, rescale, key,
+                    blend_mask=None, blend_source=None, blend_noise=None):
+            """latents0 [B,h,w,4] fp32; embeds [2B or B, T, C]; plan_xs dict of [L,...].
+
+            Inpainting (use_blend): after each scheduler step the kept
+            region (mask == 0) is overwritten with the source latents
+            re-noised to that row's output level (legacy masked-img2img;
+            plan_xs carries per-row blend_a / blend_s)."""
 
             def body(carry, xs):
                 sched: SchedulerCarry = carry["sched"]
@@ -201,6 +208,10 @@ class StableDiffusionEngine:
                     key_out, sub = jax.random.split(carry["key"])
                     noise = jax.random.normal(sub, lat.shape, jnp.float32)
                 new_sched, x0 = apply_row(sched, eps, xs, noise)
+                if use_blend:
+                    target = xs["blend_a"] * blend_source + xs["blend_s"] * blend_noise
+                    blended = blend_mask * new_sched.latents + (1.0 - blend_mask) * target
+                    new_sched = new_sched._replace(latents=blended)
 
                 out_carry = {"sched": new_sched, "key": key_out}
                 if use_cache:
@@ -244,6 +255,9 @@ class StableDiffusionEngine:
         decode: bool = True,
         mesh=None,
         init_latents: Optional[jax.Array] = None,  # img2img: pre-noised seed
+        # Inpainting: (mask [B,h,w,1] 1=regenerate, source latents [B,h,w,4],
+        # blend_a [R], blend_s [R]) — see _PlanBuilder.blend_schedule.
+        blend: Optional[Tuple[jax.Array, jax.Array, np.ndarray, np.ndarray]] = None,
     ) -> SampleOutput:
         """Generate images for one batch. Returns reference-contract output:
         (images, execution_time of the denoise loop only, optional x0 decodes)
@@ -288,6 +302,21 @@ class StableDiffusionEngine:
                 raise ValueError("first step must compute the deep trunk")
             xs["cache_full"] = jnp.asarray(cache_plan.full, jnp.float32)
 
+        blend_args = {}
+        if blend is not None:
+            mask, source, blend_a, blend_s = blend
+            if len(blend_a) != plan.num_steps or len(blend_s) != plan.num_steps:
+                raise ValueError("blend schedule length != plan length")
+            xs["blend_a"] = jnp.asarray(blend_a, jnp.float32)
+            xs["blend_s"] = jnp.asarray(blend_s, jnp.float32)
+            blend_args = dict(
+                blend_mask=jnp.asarray(mask, jnp.float32),
+                blend_source=jnp.asarray(source, jnp.float32),
+                blend_noise=jax.random.normal(
+                    jax.random.fold_in(key, 0xB1E0D), latents0.shape, jnp.float32
+                ),
+            )
+
         fn = self._denoise_fn(
             plan.num_steps,
             plan.hist_depth,
@@ -299,6 +328,7 @@ class StableDiffusionEngine:
             collect_x0,
             cache_plan.branch if use_cache else 0,
             float(plan.init_scale),
+            blend is not None,
         )
 
         step_key = jax.random.fold_in(key, 0x5EED)
@@ -312,6 +342,7 @@ class StableDiffusionEngine:
             jnp.float32(guidance_scale),
             jnp.float32(guidance_rescale),
             step_key,
+            **blend_args,
         )
         latents = jax.block_until_ready(latents)
         # On async remote backends (axon tunnel) block_until_ready can return

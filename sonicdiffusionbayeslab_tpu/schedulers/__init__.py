@@ -104,6 +104,21 @@ class _PlanBuilder:
         a, s = self.schedule.alpha_sigma(t)
         return float(a) * z + float(s) * noise
 
+    def blend_schedule(self, num_steps: int, start_index: int = 0):
+        """(a[R], s[R]) aligned with ``tail_plan(num_steps, start_index)``'s
+        rows: the source image z re-noised to row k's *output* level is
+        ``a[k] z + s[k] noise`` in native space — the inpainting blend
+        targets (legacy masked-img2img semantics).  Ends clean (1, 0)."""
+        ts = self.timesteps(num_steps)
+        a, s = [], []
+        for k in range(start_index, num_steps):
+            if k + 1 < num_steps:
+                ak, sk = self.schedule.alpha_sigma(int(ts[k + 1]))
+                a.append(float(ak)), s.append(float(sk))
+            else:
+                a.append(1.0), s.append(0.0)
+        return np.asarray(a, np.float32), np.asarray(s, np.float32)
+
     # Composer hooks; overridden where supported.
     def transition_rows(self, ts, num_steps, executed, tag=""):
         raise NotImplementedError(f"{self.NAME} cannot be composed this way")
@@ -253,6 +268,12 @@ class DPMSolverScheduler(_PlanBuilder):
         a, st = float(ladder.alpha[start_index]), float(ladder.sigma_t[start_index])
         return a * z + st * noise
 
+    def blend_schedule(self, num_steps: int, start_index: int = 0):
+        ladder = self._ladder(num_steps)
+        idx = np.arange(start_index + 1, num_steps + 1)
+        return (np.asarray(ladder.alpha[idx], np.float32),
+                np.asarray(ladder.sigma_t[idx], np.float32))
+
     def transition_rows(self, ts, num_steps, executed, tag=""):
         ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
         return dpm_rows(self.schedule, ladder, list(executed), tag=tag, **self._kw())
@@ -379,6 +400,12 @@ class UniPCScheduler(_PlanBuilder):
         a, st = float(ladder.alpha[start_index]), float(ladder.sigma_t[start_index])
         return a * z + st * noise
 
+    def blend_schedule(self, num_steps: int, start_index: int = 0):
+        ladder = self._ladder(num_steps)
+        idx = np.arange(start_index + 1, num_steps + 1)
+        return (np.asarray(ladder.alpha[idx], np.float32),
+                np.asarray(ladder.sigma_t[idx], np.float32))
+
 
 @schedulers_registry.add_to_registry("euler_scheduler")
 class EulerScheduler(_PlanBuilder):
@@ -433,6 +460,11 @@ class EulerScheduler(_PlanBuilder):
         _, sigmas, _ = self._grid(num_steps)
         return z + float(sigmas[start_index]) * noise
 
+    def blend_schedule(self, num_steps: int, start_index: int = 0):
+        _, sigmas, _ = self._grid(num_steps)
+        s = np.asarray(sigmas[start_index + 1:], np.float32)
+        return np.ones_like(s), s
+
 
 @schedulers_registry.add_to_registry("euler_ancestral_scheduler")
 class EulerAncestralScheduler(EulerScheduler):
@@ -458,6 +490,16 @@ class HeunScheduler(EulerScheduler):
         return stack_rows(rows, name=f"heun{kar}(n={num_steps}){sfx}",
                           init_scale=init if start_index == 0 else 1.0)
 
+    def blend_schedule(self, num_steps: int, start_index: int = 0):
+        # Per ROW: both rows of a transition output at the target sigma.
+        _, sigmas, _ = self._grid(num_steps)
+        s = []
+        for k in range(start_index, num_steps):
+            s2 = float(sigmas[k + 1])
+            s.extend([s2] if s2 == 0.0 else [s2, s2])
+        s = np.asarray(s, np.float32)
+        return np.ones_like(s), s
+
 
 @schedulers_registry.add_to_registry("pndm_scheduler")
 class PNDMScheduler(_PlanBuilder):
@@ -478,3 +520,8 @@ class PNDMScheduler(_PlanBuilder):
                 "img2img tails are not defined for PLMS's duplicated warm-up step"
             )
         return self.build_plan(num_steps)
+
+    def blend_schedule(self, num_steps: int, start_index: int = 0):
+        raise NotImplementedError(
+            "inpainting blend is not defined for PLMS's duplicated warm-up step"
+        )

@@ -102,3 +102,68 @@ def test_img2img_pipeline_e2e():
 
     with pytest.raises(ValueError, match="no steps"):
         model(["x"], num_inference_steps=6, init_image=init, strength=0.0)
+
+
+def test_blend_schedule_shapes_and_limits():
+    n, start = 8, 3
+    for cls in (DDIMScheduler, DPMSolverScheduler, UniPCScheduler, EulerScheduler):
+        plan = cls().tail_plan(n, start)
+        a, s = cls().blend_schedule(n, start)
+        assert len(a) == len(s) == plan.num_steps
+        assert a[-1] == pytest.approx(1.0) and s[-1] == pytest.approx(0.0)
+    # Heun: per-row alignment (2 per transition, 1 for the last).
+    plan = HeunScheduler().tail_plan(n, start)
+    a, s = HeunScheduler().blend_schedule(n, start)
+    assert len(a) == plan.num_steps
+    with pytest.raises(NotImplementedError):
+        PNDMScheduler().blend_schedule(n)
+
+
+def _tiny_model():
+    from sonicdiffusionbayeslab_tpu.registry import load_all_plugins, models_registry, schedulers_registry
+
+    load_all_plugins()
+    model = models_registry["stable_diffusion_model"](
+        pretrained_model="x", tiny=True, image_size=16)
+    model.scheduler = schedulers_registry["ddim_scheduler"]()
+    return model
+
+
+def test_inpaint_keep_everything_returns_source():
+    """mask == 0 everywhere (keep all): the final latents are exactly the
+    encoded source, independent of the model — the blend's clean endpoint."""
+    model = _tiny_model()
+    init = np.random.default_rng(0).uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    mask = np.zeros((1, 16, 16, 1), np.float32)
+    key = jax.random.PRNGKey(5)
+    lat, _, _ = model(["keep"], num_inference_steps=4, key=key,
+                      init_image=init, strength=1.0, mask_image=mask,
+                      output_type="latent")
+    # Recompute the encoded source with the same key split the pipeline used.
+    _, enc_key, _ = jax.random.split(key, 3)
+    z = model.engine.encode_image_fn(
+        model.params["vae"], jnp.asarray(init), enc_key)
+    np.testing.assert_allclose(lat, np.asarray(z), atol=1e-5)
+
+
+def test_inpaint_partial_mask_runs_all_schedulers():
+    from sonicdiffusionbayeslab_tpu.registry import schedulers_registry
+
+    model = _tiny_model()
+    init = np.random.default_rng(1).uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    mask = np.zeros((1, 16, 16, 1), np.float32)
+    mask[:, :8] = 1.0  # regenerate top half
+    for name in ("ddim_scheduler", "dpm_solver_scheduler", "euler_scheduler",
+                 "heun_scheduler", "unipc_scheduler"):
+        model.scheduler = schedulers_registry[name]()
+        imgs, _, _ = model(["inpaint"], num_inference_steps=4,
+                           key=jax.random.PRNGKey(6), init_image=init,
+                           strength=1.0, mask_image=mask)
+        assert np.isfinite(imgs).all(), name
+
+
+def test_inpaint_requires_init_image():
+    model = _tiny_model()
+    with pytest.raises(ValueError, match="requires init_image"):
+        model(["x"], num_inference_steps=4,
+              mask_image=np.ones((1, 16, 16, 1), np.float32))
