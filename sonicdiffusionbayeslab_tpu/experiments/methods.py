@@ -58,6 +58,7 @@ class DPMSolverMethod(BaseMethod):
             solver_order=int(self.params.get("solver_order", 2)),
             algorithm_type=self.params.get("algorithm_type", "dpmsolver++"),
             final_sigmas_type=self.params.get("final_sigmas_type", "zero"),
+            use_karras_sigmas=bool(self.params.get("use_karras_sigmas", False)),
         )
 
     def grid(self) -> Iterable[dict]:
@@ -79,6 +80,7 @@ class UniPCMethod(BaseMethod):
             solver_order=int(self.params.get("solver_order", 2)),
             variant=self.params.get("variant", "bh2"),
             use_corrector=bool(self.params.get("use_corrector", True)),
+            use_karras_sigmas=bool(self.params.get("use_karras_sigmas", False)),
         )
 
     def grid(self) -> Iterable[dict]:
