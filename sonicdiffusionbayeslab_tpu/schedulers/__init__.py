@@ -30,7 +30,7 @@ from sonicdiffusionbayeslab_tpu.schedulers.plans import (  # noqa: F401
     skip_plan,
     two_scheduler_plan,
 )
-from sonicdiffusionbayeslab_tpu.schedulers.euler import euler_rows, heun_rows, init_noise_sigma
+from sonicdiffusionbayeslab_tpu.schedulers.euler import euler_rows, heun_rows
 from sonicdiffusionbayeslab_tpu.schedulers.pndm import pndm_rows
 from sonicdiffusionbayeslab_tpu.schedulers.unipc import unipc_rows
 from sonicdiffusionbayeslab_tpu.schedulers.schedule import (
