@@ -98,6 +98,55 @@ def test_shipped_configs_resolve(path):
                 assert name in schedulers_registry, name
 
 
+def _tinyify(raw: dict) -> dict:
+    """Shrink a shipped config to a one-grid-point tiny smoke: random tiny
+    weights, 64px, one batch of 2 — but the SAME dataset path, method,
+    scheduler wiring and metric set as shipped."""
+    import copy
+
+    raw = copy.deepcopy(raw)
+    raw["model"]["tiny"] = True
+    raw["model"]["image_size"] = 64
+    raw["dataset"]["image_size"] = 64
+    raw.setdefault("inference", {})["batch_size"] = 2
+    raw["inference"]["batch_count"] = 1
+    raw.setdefault("logger", {})["wandb_enable"] = False
+    raw["logger"]["save"] = False
+    ep = raw.get("experiment_params", {})
+    for k, v in list(ep.items()):
+        if isinstance(v, list):
+            ep[k] = [v[0]]
+            if k.startswith("num_inference_steps") and isinstance(ep[k][0], int):
+                ep[k] = [min(ep[k][0], 8)]
+    return raw
+
+
+@pytest.mark.parametrize("path", ALL_CONFIGS, ids=[p.stem for p in ALL_CONFIGS])
+def test_shipped_config_end_to_end(tmp_path, monkeypatch, path):
+    """Every shipped config must actually run: real dataset path loaded
+    (the reference's 1000-prompt COCO caption file), method + scheduler +
+    metrics built from the shipped sections, one tiny batch generated and
+    validated to a metrics table (reference protocol: main.py + configs/*)."""
+    import yaml
+
+    monkeypatch.chdir(Path(__file__).parent.parent)
+    raw = yaml.safe_load(path.read_text())
+    prompts_path = Path(raw["dataset"]["prompts"])
+    assert prompts_path.exists(), f"{path.name} points at missing {prompts_path}"
+    if "img2annotations_test" in prompts_path.name:
+        assert len(json.loads(prompts_path.read_text())) == 1000
+
+    cfgp = tmp_path / path.name
+    cfgp.write_text(yaml.safe_dump(_tinyify(raw)))
+    from sonicdiffusionbayeslab_tpu.cli import run
+
+    metrics = run(str(cfgp))
+    assert len(metrics["exp"]) == 1
+    assert metrics["time"][0] > 0
+    if "quality_metrics" in raw and "clip_score" in raw["quality_metrics"]:
+        assert np.isfinite(metrics["clip_score"][0])
+
+
 # ---------------------------------------------------------------- e2e sweep
 def _smoke_config(tmp_path, method, model, extra_params, scheduler=None, extra_model=None):
     cfg = {
@@ -304,6 +353,21 @@ def test_aesthetic_scorer():
     assert scores.shape == (3,) and np.isfinite(scores).all()
     n = normalized(emb)
     np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_aesthetic_scorer_real_checkpoint(monkeypatch):
+    """The shipped reference-format Lightning checkpoint loads and scores in
+    the LAION aesthetic range (reference data/models/aethetic_score_model.pth)."""
+    monkeypatch.chdir(Path(__file__).parent.parent)
+    from sonicdiffusionbayeslab_tpu.metrics.aesthetic import AestheticScorer
+
+    path = Path("data/models/aethetic_score_model.pth")
+    assert path.exists()
+    s = AestheticScorer(str(path))
+    emb = np.random.default_rng(0).standard_normal((4, 768)).astype(np.float32)
+    out = s(emb)
+    assert out.shape == (4,) and np.isfinite(out).all()
+    assert (0.0 < out).all() and (out < 10.0).all()
 
 
 def test_logger_local_artifacts(tmp_path):
