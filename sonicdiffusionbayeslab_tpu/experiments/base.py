@@ -143,6 +143,10 @@ class BaseMethod:
     def generate(self, grid_index: int = 0, use_x0: bool = False, **call_kw) -> Dict[str, Any]:
         batch_size = self.config.inference.get("batch_size", 8)
         batch_count = self.config.inference.get("batch_count")
+        # x0 capture breadth: reference decodes the captured x0 for the whole
+        # batch (src/models.py:287-302); inference.x0_samples narrows it (cost
+        # knob — each captured sample adds steps x 1 VAE decodes).
+        x0_samples = self.config.inference.get("x0_samples")
         guidance = call_kw.pop("guidance_scale", self.config.inference.get("guidance_scale", 7.5))
         self.time_metric.reset()
         gkey = rng_util.grid_key(self.key, grid_index)
@@ -158,6 +162,7 @@ class BaseMethod:
                 key=rng_util.batch_key(gkey, 0),  # latents derive from indices
                 sample_indices=batch["index"],
                 use_x0=use_x0 and bi == 0,  # one x0 grid per grid point
+                x0_samples=x0_samples,
                 **call_kw,
             )
             self.time_metric.update(exec_time, len(batch["prompt"]))
@@ -165,7 +170,9 @@ class BaseMethod:
             prompts.extend(batch["prompt"])
             files.extend(batch["image_file"])
             if x0 is not None:
-                x0_grids.append(make_grid(to_uint8(x0), nrow=8))
+                # x0: [steps, n, H, W, 3] -> grid rows = steps, cols = samples.
+                n = x0.shape[1]
+                x0_grids.append(make_grid(to_uint8(x0.reshape((-1,) + x0.shape[2:])), nrow=n))
         return {
             "images": np.concatenate(images) if images else np.zeros((0,)),
             "prompts": prompts,

@@ -221,12 +221,14 @@ class InterlivingSchedulerMethod(_TwoSchedulerBase):
     def grid(self) -> Iterable[dict]:
         steps_list = self.params.get("num_inference_steps", [20])
         inter_lists = self.params.get("interliving_steps", [[0]])
+        mode = self.params.get("interleave_mode", "ladder")
         for steps, inters in zip(steps_list, inter_lists):
             yield {
                 "label": f"steps_{steps}_inter_{'-'.join(map(str, inters))}",
                 "call_kw": {
                     "num_inference_steps": int(steps),
                     "interliving_steps": [int(i) for i in inters],
+                    "interleave_mode": mode,
                 },
             }
 

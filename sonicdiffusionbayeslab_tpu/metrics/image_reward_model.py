@@ -59,12 +59,12 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
-        h = nn.LayerNorm(name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="ln1")(x)
         qkv = nn.Dense(C * 3, name="qkv")(h).reshape(B, N, 3, self.heads, C // self.heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         o = dot_product_attention(q, k, v).reshape(B, N, C)
         x = x + nn.Dense(C, name="proj")(o)
-        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="ln2")(x)
         h = nn.Dense(C * 4, name="fc1")(h)
         h = nn.gelu(h, approximate=False)
         x = x + nn.Dense(C, name="fc2")(h)
@@ -89,7 +89,7 @@ class BLIPVisionModel(nn.Module):
         x = x + pos[:, : x.shape[1]]
         for i in range(c.vision_layers):
             x = ViTBlock(c.vision_heads, name=f"block_{i}")(x)
-        return nn.LayerNorm(name="ln_final")(x)
+        return nn.LayerNorm(epsilon=1e-6, name="ln_final")(x)
 
 
 class BertSelfAttention(nn.Module):
@@ -116,13 +116,13 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, x, vision, mask=None):
         a = BertSelfAttention(self.heads, name="self_attn")(x, x, mask)
-        x = nn.LayerNorm(name="ln_self")(x + a)
+        x = nn.LayerNorm(epsilon=1e-12, name="ln_self")(x + a)
         if vision is not None:
             a = BertSelfAttention(self.heads, name="cross_attn")(x, vision)
-            x = nn.LayerNorm(name="ln_cross")(x + a)
+            x = nn.LayerNorm(epsilon=1e-12, name="ln_cross")(x + a)
         h = nn.Dense(self.intermediate, name="fc1")(x)
         h = nn.gelu(h, approximate=False)
-        x = nn.LayerNorm(name="ln_out")(x + nn.Dense(x.shape[-1], name="fc2")(h))
+        x = nn.LayerNorm(epsilon=1e-12, name="ln_out")(x + nn.Dense(x.shape[-1], name="fc2")(h))
         return x
 
 
@@ -136,7 +136,7 @@ class BLIPTextEncoder(nn.Module):
         tok = nn.Embed(c.vocab_size, c.text_width, name="word_embeddings")(input_ids)
         pos = self.param("position_embeddings", nn.initializers.normal(0.02),
                          (512, c.text_width))
-        x = nn.LayerNorm(name="ln_embed")(tok + pos[None, :T])
+        x = nn.LayerNorm(epsilon=1e-12, name="ln_embed")(tok + pos[None, :T])
         mask = None
         if attn_mask is not None:
             mask = attn_mask[:, None, None, :].astype(bool)  # [B,1,1,T]
@@ -146,11 +146,15 @@ class BLIPTextEncoder(nn.Module):
 
 
 class RewardHead(nn.Module):
+    """ImageReward's MLP head. NB: the published ImageReward-v1.0 MLP has NO
+    activations — its ReLUs are commented out in the ImageReward source
+    (``MLP.layers``: Linear/Dropout stacks only) — so weight parity requires
+    a pure linear stack here too."""
+
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate((1024, 128, 64, 16)):
             x = nn.Dense(d, name=f"fc{i}")(x)
-            x = nn.relu(x)
         return nn.Dense(1, name="out")(x)
 
 

@@ -165,8 +165,13 @@ class RewardModel(Metric):
 
     Reference contract (metrics.py:62-95): for each (prompt, real, gen)
     triple score both images; win = 1 if gen >= real; compute = mean.  The
-    reference's scorer is ImageReward-v1.0 (BLIP); offline default here is
-    CLIP text-image similarity (documented divergence until the BLIP port).
+    reference's scorer is ImageReward-v1.0 (BLIP) — the operative scorer
+    here whenever a checkpoint is available (explicit ``checkpoint=``, the
+    ``SDBL_IMAGE_REWARD_CKPT`` env var, or ``data/models/ImageReward.pt``);
+    the BLIP tower is forward-verified against HF transformers
+    (tests/test_hf_forward_parity.py).  Without a checkpoint the metric
+    falls back to CLIP text-image similarity and warns loudly: win rates
+    under the fallback are NOT comparable to the reference's.
     """
 
     def __init__(
@@ -177,11 +182,27 @@ class RewardModel(Metric):
         vocab_path: Optional[str] = None,
         tiny: bool = False,
     ):
-        self.model_name = model_name
-        if scorer is None and checkpoint is not None:
-            from sonicdiffusionbayeslab_tpu.metrics.image_reward_model import ImageRewardScorer
+        import logging
+        import os
+        from pathlib import Path
 
-            scorer = ImageRewardScorer(checkpoint, tiny=tiny, vocab_path=vocab_path)
+        self.model_name = model_name
+        if scorer is None:
+            if checkpoint is None and not tiny:
+                env = os.environ.get("SDBL_IMAGE_REWARD_CKPT")
+                default = Path("data/models/ImageReward.pt")
+                checkpoint = env or (str(default) if default.exists() else None)
+            if checkpoint is not None:
+                from sonicdiffusionbayeslab_tpu.metrics.image_reward_model import ImageRewardScorer
+
+                scorer = ImageRewardScorer(checkpoint, tiny=tiny, vocab_path=vocab_path)
+            elif not tiny:
+                logging.getLogger(__name__).warning(
+                    "image_reward: no ImageReward checkpoint found (checkpoint=, "
+                    "$SDBL_IMAGE_REWARD_CKPT, or data/models/ImageReward.pt) — "
+                    "falling back to CLIP text-image similarity. Win rates are "
+                    "NOT comparable to the reference's BLIP-based ImageReward-v1.0."
+                )
         self._scorer = scorer or (lambda imgs, prompts: _clip_backend(None, tiny).scores(imgs, prompts))
         self.reset()
 

@@ -68,9 +68,10 @@ class CLIPLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        h = nn.LayerNorm(name="ln1", **kw)(x)
+        # HF CLIP LayerNorm eps = 1e-5.
+        h = nn.LayerNorm(epsilon=1e-5, name="ln1", **kw)(x)
         x = x + CLIPAttention(self.num_heads, name="attn", **kw)(h, mask)
-        h = nn.LayerNorm(name="ln2", **kw)(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln2", **kw)(x)
         h = nn.Dense(self.intermediate_size, name="fc1", **kw)(h)
         h = quick_gelu(h)
         x = x + nn.Dense(x.shape[-1], name="fc2", **kw)(h)
@@ -102,7 +103,7 @@ class CLIPTextModel(nn.Module):
         causal = jnp.tril(jnp.ones((T, T), bool))[None, None]  # [1, 1, T, T]
         for i in range(cfg.num_layers):
             x = CLIPLayer(cfg.num_heads, cfg.intermediate_size, name=f"layer_{i}", **kw)(x, causal)
-        x = nn.LayerNorm(name="final_ln", **kw)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="final_ln", **kw)(x)
         x = x.astype(jnp.float32)
 
         # Pooled output = hidden state at each sequence's EOT token (highest

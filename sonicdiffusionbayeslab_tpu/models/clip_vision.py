@@ -73,10 +73,10 @@ class CLIPVisionModel(nn.Module):
             "position_embedding", nn.initializers.normal(0.02), (n_pos, cfg.hidden_size), self.param_dtype
         )
         x = x + pos[None, : x.shape[1]].astype(x.dtype)
-        x = nn.LayerNorm(name="pre_ln", **kw)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="pre_ln", **kw)(x)
         for i in range(cfg.num_layers):
             x = CLIPLayer(cfg.num_heads, cfg.intermediate_size, name=f"layer_{i}", **kw)(x, None)
-        pooled = nn.LayerNorm(name="post_ln", **kw)(x[:, 0])
+        pooled = nn.LayerNorm(epsilon=1e-5, name="post_ln", **kw)(x[:, 0])
         return pooled.astype(jnp.float32), x.astype(jnp.float32)
 
 

@@ -107,9 +107,13 @@ class GroupNorm(nn.Module):
 
 
 class ResnetBlock(nn.Module):
-    """GN -> SiLU -> conv3x3 -> (+time) -> GN -> SiLU -> conv3x3, + skip."""
+    """GN -> SiLU -> conv3x3 -> (+time) -> GN -> SiLU -> conv3x3, + skip.
+
+    ``norm_epsilon``: 1e-5 matches diffusers' UNet resnets (norm_eps); the
+    VAE passes 1e-6 (AutoencoderKL convention)."""
 
     out_channels: int
+    norm_epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -118,14 +122,16 @@ class ResnetBlock(nn.Module):
         conv = lambda name: nn.Conv(  # noqa: E731
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
-        h = GroupNorm(silu=True, dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
+        h = GroupNorm(silu=True, epsilon=self.norm_epsilon,
+                      dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
         h = conv("conv1")(h)
         if t_emb is not None:
             t = nn.Dense(
                 self.out_channels, dtype=self.dtype, param_dtype=self.param_dtype, name="time_emb_proj"
             )(nn.silu(t_emb))
             h = h + t[:, None, None, :]
-        h = GroupNorm(silu=True, dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(h)
+        h = GroupNorm(silu=True, epsilon=self.norm_epsilon,
+                      dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(h)
         h = conv("conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(
@@ -194,7 +200,8 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=name)  # noqa: E731
+        # torch nn.LayerNorm eps (diffusers BasicTransformerBlock) = 1e-5.
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name)  # noqa: E731
         attn = lambda name: Attention(  # noqa: E731
             self.num_heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
@@ -219,7 +226,8 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
         residual = x
-        h = GroupNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(x)
+        # diffusers Transformer2DModel's input GroupNorm uses eps=1e-6.
+        h = GroupNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(x)
         h = h.reshape(B, H * W, C)
         h = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(h)
         for i in range(self.depth):
@@ -268,7 +276,8 @@ class AttnBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
-        h = GroupNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(x)
+        # diffusers VAE attention GroupNorm uses eps=1e-6.
+        h = GroupNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(x)
         h = h.reshape(B, H * W, C)
         h = Attention(
             self.num_heads, C // self.num_heads, dtype=self.dtype, param_dtype=self.param_dtype,

@@ -99,6 +99,7 @@ class StableDiffusionModel:
         sample_indices: Optional[np.ndarray] = None,
         negative_prompt: Optional[Sequence[str]] = None,
         use_x0: bool = False,
+        x0_samples: Optional[int] = None,  # None = full batch (reference contract)
         output_type: str = "np",
         init_image: Optional[np.ndarray] = None,  # img2img: [B,H,W,3] in [0,1]
         strength: float = 0.8,
@@ -161,6 +162,7 @@ class StableDiffusionModel:
             cache_plan=cache_plan,
             latent_hw=(self.latent_hw, self.latent_hw),
             collect_x0=use_x0,
+            x0_samples=x0_samples,
             decode=output_type != "latent",
             init_latents=init_latents,
             blend=blend,
@@ -242,9 +244,11 @@ class StableDiffusionModelInterlivingSchedulers(StableDiffusionModel):
         self.scheduler_main = None
         self.scheduler_inter = None
 
-    def build_plan(self, num_inference_steps, interliving_steps=(), **_):
+    def build_plan(self, num_inference_steps, interliving_steps=(),
+                   interleave_mode="ladder", **_):
         return plan_composers.interleave_plan(
-            self.scheduler_main, self.scheduler_inter, num_inference_steps, interliving_steps
+            self.scheduler_main, self.scheduler_inter, num_inference_steps,
+            interliving_steps, mode=interleave_mode,
         )
 
 

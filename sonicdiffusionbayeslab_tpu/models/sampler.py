@@ -61,7 +61,9 @@ class CachePlan:
 class SampleOutput:
     images: jax.Array  # [B, H, W, 3] in [0, 1]
     execution_time: float  # denoise-loop seconds (reference timing contract)
-    x0_images: Optional[jax.Array]  # [S, h, w, 3] decoded per-step x0 of sample 0
+    x0_images: Optional[jax.Array]  # [S, n, h, w, 3]: per-step x0 decodes of the
+    # first n samples (n = full batch by default — reference decodes the whole
+    # captured batch, src/models.py:287-302; narrow via sample(x0_samples=...))
     latents: jax.Array  # final latents [B, h, w, 4]
     nfe: int
 
@@ -147,6 +149,7 @@ class StableDiffusionEngine:
         cache_branch: int = 0,
         init_scale: float = 1.0,
         use_blend: bool = False,
+        x0_count: int = 1,
     ):
         unet = self.unet
 
@@ -216,7 +219,7 @@ class StableDiffusionEngine:
                 out_carry = {"sched": new_sched, "key": key_out}
                 if use_cache:
                     out_carry["cache"] = new_cache
-                return out_carry, (x0[0] if collect_x0 else None)
+                return out_carry, (x0[:x0_count] if collect_x0 else None)
 
             carry0: Dict[str, Any] = {"sched": init_carry_static(latents0), "key": key}
             if use_cache:
@@ -252,6 +255,7 @@ class StableDiffusionEngine:
         cache_plan: Optional[CachePlan] = None,
         latent_hw: Tuple[int, int] = (64, 64),
         collect_x0: bool = False,
+        x0_samples: Optional[int] = None,  # None = full batch (reference contract)
         decode: bool = True,
         mesh=None,
         init_latents: Optional[jax.Array] = None,  # img2img: pre-noised seed
@@ -329,6 +333,7 @@ class StableDiffusionEngine:
             cache_plan.branch if use_cache else 0,
             float(plan.init_scale),
             blend is not None,
+            B if x0_samples is None else max(1, min(int(x0_samples), B)),
         )
 
         step_key = jax.random.fold_in(key, 0x5EED)
@@ -365,13 +370,16 @@ class StableDiffusionEngine:
         images = self.decode_fn(params["vae"], latents) if decode else None
         x0_images = None
         if collect_x0:
-            # Pad the step axis to a small multiple so sweeps over many step
-            # counts reuse a handful of VAE-decode compilations.
-            S = x0_seq.shape[0]
+            # x0_seq: [S, n, h, w, 4]. Pad the step axis to a small multiple
+            # so sweeps over many step counts reuse a handful of VAE-decode
+            # compilations, flatten steps x samples for the batched decode.
+            S, n = x0_seq.shape[0], x0_seq.shape[1]
             Sp = -(-S // 8) * 8
-            x0_images = self.decode_fn(
-                params["vae"], jnp.pad(x0_seq, ((0, Sp - S),) + ((0, 0),) * 3)
-            )[:S]
+            flat = jnp.pad(x0_seq, ((0, Sp - S),) + ((0, 0),) * 4).reshape(
+                (Sp * n,) + x0_seq.shape[2:]
+            )
+            dec = self.decode_fn(params["vae"], flat)
+            x0_images = dec.reshape((Sp, n) + dec.shape[1:])[:S]
         return SampleOutput(
             images=images,
             execution_time=execution_time,

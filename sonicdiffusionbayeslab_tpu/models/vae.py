@@ -53,17 +53,18 @@ class Decoder(nn.Module):
     def __call__(self, z: jax.Array) -> jax.Array:
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        rkw = dict(norm_epsilon=1e-6, **kw)  # AutoencoderKL GroupNorm eps
         ch_top = cfg.block_out_channels[-1]
         h = nn.Conv(ch_top, (3, 3), padding=1, name="conv_in", **kw)(z.astype(self.dtype))
-        h = ResnetBlock(ch_top, name="mid_res_0", **kw)(h)
+        h = ResnetBlock(ch_top, name="mid_res_0", **rkw)(h)
         h = AttnBlock2D(name="mid_attn", **kw)(h)
-        h = ResnetBlock(ch_top, name="mid_res_1", **kw)(h)
+        h = ResnetBlock(ch_top, name="mid_res_1", **rkw)(h)
         for i, ch in enumerate(reversed(cfg.block_out_channels)):
             for j in range(cfg.layers_per_block + 1):
-                h = ResnetBlock(ch, name=f"up_{i}_res_{j}", **kw)(h)
+                h = ResnetBlock(ch, name=f"up_{i}_res_{j}", **rkw)(h)
             if i < len(cfg.block_out_channels) - 1:
                 h = Upsample(ch, name=f"up_{i}_upsample", **kw)(h)
-        h = GroupNorm(silu=True, name="norm_out", **kw)(h)
+        h = GroupNorm(silu=True, epsilon=1e-6, name="norm_out", **kw)(h)
         return nn.Conv(cfg.in_channels, (3, 3), padding=1, name="conv_out", **kw)(h).astype(
             jnp.float32
         )
@@ -78,19 +79,20 @@ class Encoder(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        rkw = dict(norm_epsilon=1e-6, **kw)  # AutoencoderKL GroupNorm eps
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in", **kw)(
             x.astype(self.dtype)
         )
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock(ch, name=f"down_{i}_res_{j}", **kw)(h)
+                h = ResnetBlock(ch, name=f"down_{i}_res_{j}", **rkw)(h)
             if i < len(cfg.block_out_channels) - 1:
                 h = Downsample(ch, name=f"down_{i}_downsample", **kw)(h)
         ch_top = cfg.block_out_channels[-1]
-        h = ResnetBlock(ch_top, name="mid_res_0", **kw)(h)
+        h = ResnetBlock(ch_top, name="mid_res_0", **rkw)(h)
         h = AttnBlock2D(name="mid_attn", **kw)(h)
-        h = ResnetBlock(ch_top, name="mid_res_1", **kw)(h)
-        h = GroupNorm(silu=True, name="norm_out", **kw)(h)
+        h = ResnetBlock(ch_top, name="mid_res_1", **rkw)(h)
+        h = GroupNorm(silu=True, epsilon=1e-6, name="norm_out", **kw)(h)
         # moments: mean + logvar
         return nn.Conv(cfg.latent_channels * 2, (3, 3), padding=1, name="conv_out", **kw)(h).astype(
             jnp.float32

@@ -85,6 +85,7 @@ def interleave_plan(
     inter,
     num_inference_steps: int,
     interliving_steps: Sequence[int],
+    mode: str = "ladder",
 ) -> SamplePlan:
     """Interleaved-scheduler plan.
 
@@ -94,13 +95,25 @@ def interleave_plan(
     scheduler — and the rest are deleted; both schedulers' multistep
     histories are kept in sync (src/models.py:1025-1053).
 
-    Divergence (documented): the reference resolves the inter scheduler's
-    noise level by looking the main-schedule timestep up in the inter
-    scheduler's own (coarser) schedule, falling back to its final index on a
-    miss — an index-mismatch artifact of mutable diffusers state.  Here each
-    executed step transitions along the *executed ladder* (its true noise
-    levels), which is the well-defined version of the same experiment.
+    ``mode``:
+
+    * ``"ladder"`` (default, documented divergence): each executed step
+      transitions along the *executed ladder* (its true noise levels) — the
+      well-defined version of the experiment.
+    * ``"reference"``: reproduce the reference's index arithmetic exactly —
+      the main scheduler advances *consecutive* ladder positions of its full
+      schedule (diffusers ``_step_index`` is incremented once per main step,
+      never resynchronized after deletions, src/schedulers.py:179), while the
+      inter scheduler runs its OWN coarser schedule
+      (``set_timesteps(n // solver_order)``, src/models.py:888-894), i.e. a
+      DDIM inter step at main-timestep t transitions t -> t - 1000//(n//order).
+      See :func:`_interleave_plan_reference` for the combinations in which
+      the reference itself crashes (and this mode raises instead).
     """
+    if mode == "reference":
+        return _interleave_plan_reference(main, inter, num_inference_steps, interliving_steps)
+    if mode != "ladder":
+        raise ValueError(f"unknown interleave mode {mode!r} (ladder | reference)")
     order = getattr(main, "solver_order", 1)
     ts_main = main.timesteps(num_inference_steps)
     windows = set(int(w) for w in interliving_steps)
@@ -132,6 +145,124 @@ def interleave_plan(
         f"(n={num_inference_steps},windows={sorted(windows)})",
     )
     return plan
+
+
+def _interleave_plan_reference(
+    main,
+    inter,
+    num_inference_steps: int,
+    interliving_steps: Sequence[int],
+) -> SamplePlan:
+    """The reference's interleave index arithmetic, reproduced exactly.
+
+    Executability: the reference's loop crashes for every combination except
+    (position-indexed DPM main, timestep-indexed DDIM inter, first executed
+    step owned by main).  After each step it manually pushes the model output
+    into the *other* scheduler's multistep ring via
+    ``convert_model_output`` (src/models.py:1025-1031 after inter steps,
+    1045-1053 after main steps), which dereferences
+    ``self.sigmas[self._step_index]`` — and ``_step_index`` is only
+    initialized by that scheduler's own first ``step()`` call.  So with a DPM
+    inter scheduler, whichever owner executes first leaves the other ring's
+    push with ``_step_index is None`` -> ``sigmas[None]`` -> a torch
+    broadcast error.  The shipped ``interliving_schedulers_config.yaml``
+    (DPM main + DPM inter) is therefore unrunnable in the reference itself;
+    this mode raises a clear error for those combinations instead of
+    inventing semantics for them.
+
+    For the runnable combination, the exact reference behaviors reproduced:
+
+    * main advances consecutive ladder positions of its FULL schedule from
+      the first executed index — deletions do not resynchronize
+      ``_step_index`` (src/schedulers.py:112-113,179) — while the UNet is
+      conditioned on the actual (post-deletion) timestep;
+    * main's ``lower_order_nums`` warm-up counts only main steps
+      (src/schedulers.py:171-172), while its history ring also receives the
+      inter steps' outputs (the manual push; here: the shared ring);
+    * the inter DDIM step at main-timestep t transitions
+      t -> t - num_train//(n // order): the stride of the inter scheduler's
+      own ``set_timesteps(n // solver_order)`` schedule
+      (src/models.py:888-894 + diffusers DDIM ``prev_timestep``).
+
+    Residual micro-divergence (documented): the reference converts each
+    cross-pushed ring entry with the *receiving* scheduler's current sigma;
+    the shared ring here stores the emitting row's conversion.  This affects
+    only multistep history weighting, never the timestep/noise-level
+    sequence (the SURVEY §7 parity bar).
+    """
+    from sonicdiffusionbayeslab_tpu.schedulers.ddim import ddim_transition_row
+    from sonicdiffusionbayeslab_tpu.schedulers.dpm import dpm_rows, make_ladder, simulate_orders
+
+    order = int(getattr(main, "solver_order", 1))
+    n = int(num_inference_steps)
+    ts_main = main.timesteps(n)
+    windows = set(int(w) for w in interliving_steps)
+
+    entries = []  # (orig_index_in_full_schedule, timestep, owner)
+    for i, t in enumerate(int(x) for x in ts_main):
+        if i // order in windows:
+            if i % order == 0:
+                entries.append((i, t, "inter"))
+        else:
+            entries.append((i, t, "main"))
+    if not entries:
+        raise ValueError("interleave plan deleted every step")
+
+    if not hasattr(inter, "eta"):  # timestep-indexed DDIM inter required
+        raise NotImplementedError(
+            "interleave mode='reference' with a position-indexed inter "
+            "scheduler: the reference itself crashes here (uninitialized "
+            "_step_index in the cross-ring convert_model_output, "
+            "src/models.py:1025-1053) — use mode='ladder', or a DDIM inter."
+        )
+    if not hasattr(main, "solver_order"):
+        raise NotImplementedError(
+            "interleave mode='reference' needs a DPM-family main scheduler "
+            "(the reference calls scheduler_main.convert_model_output "
+            "unconditionally, src/models.py:1025-1031)."
+        )
+    if entries[0][2] != "main":
+        raise NotImplementedError(
+            "interleave mode='reference' with window 0 interleaved: the "
+            "reference crashes (scheduler_main._step_index is None at the "
+            "first post-inter ring push, src/models.py:1025-1031)."
+        )
+
+    ladder = make_ladder(main.schedule, ts_main, main.final_sigmas_type)
+    main_entries = [(k, e) for k, e in enumerate(entries) if e[2] == "main"]
+    p0 = main_entries[0][1][0]  # _init_step_index: exact hit in the full schedule
+    positions = [p0 + j for j in range(len(main_entries))]
+    orders = simulate_orders(
+        positions, len(ts_main), order,
+        lower_order_final=main.lower_order_final,
+        euler_at_final=main.euler_at_final,
+        final_sigmas_type=main.final_sigmas_type,
+    )
+    main_rows = dpm_rows(
+        main.schedule, ladder, positions, orders=orders,
+        unet_timesteps=[e[1] for _, e in main_entries], tag="main-ref",
+        **main._kw(),
+    )
+
+    n_inter = max(n // order, 1)
+    stride = main.config.num_train_timesteps // n_inter
+    rows: List[StepRow] = [None] * len(entries)  # type: ignore[list-item]
+    for (k, _), row in zip(main_entries, main_rows):
+        rows[k] = row
+    for k, (_, t, owner) in enumerate(entries):
+        if owner == "inter":
+            prev_t = t - stride
+            rows[k] = ddim_transition_row(
+                inter.schedule, t, prev_t if prev_t >= 0 else -1,
+                eta=inter.eta, prediction_type=inter.config.prediction_type,
+                tag="inter-ref",
+            )
+    return stack_rows(
+        rows,
+        name=f"interleave-ref[{main.NAME}+{inter.NAME}]"
+        f"(n={n},windows={sorted(windows)})",
+        hist_depth=order,
+    )
 
 
 def skip_plan(scheduler, num_inference_steps: int, skip_steps: Sequence[int]) -> SamplePlan:

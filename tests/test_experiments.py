@@ -355,6 +355,20 @@ def test_aesthetic_scorer():
     np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, rtol=1e-5)
 
 
+def test_reward_model_fallback_warns(monkeypatch, caplog):
+    """Without an ImageReward checkpoint the CLIP fallback must be loud
+    (ADVICE r1: silent semantic divergence from the reference's BLIP scorer)."""
+    from sonicdiffusionbayeslab_tpu.metrics import metrics as M
+
+    stub = type("S", (), {"scores": staticmethod(lambda i, p: np.zeros(len(p)))})()
+    monkeypatch.setattr(M, "_clip_backend", lambda *a, **k: stub)
+    monkeypatch.delenv("SDBL_IMAGE_REWARD_CKPT", raising=False)
+    monkeypatch.chdir(Path(__file__).parent)  # no data/models/ImageReward.pt here
+    with caplog.at_level("WARNING"):
+        M.RewardModel()
+    assert any("NOT comparable" in r.message for r in caplog.records)
+
+
 def test_aesthetic_scorer_real_checkpoint(monkeypatch):
     """The shipped reference-format Lightning checkpoint loads and scores in
     the LAION aesthetic range (reference data/models/aethetic_score_model.pth)."""

@@ -117,7 +117,20 @@ def test_sample_end_to_end(engine, params):
         guidance_scale=7.5, latent_hw=(8, 8), collect_x0=True,
     )
     assert out.images.shape == (2, 16, 16, 3)
-    assert out.x0_images.shape == (4, 16, 16, 3)  # per-step x0 of sample 0
+    # Per-step x0 for the FULL batch (reference decodes the captured batch,
+    # src/models.py:287-302).
+    assert out.x0_images.shape == (4, 2, 16, 16, 3)
+    # x0 at the final step equals the model's x0 prediction trajectory's end —
+    # and the narrowing knob keeps only the first n samples.
+    narrowed = engine.sample(
+        params, plan, embeds, neg, key,
+        guidance_scale=7.5, latent_hw=(8, 8), collect_x0=True, x0_samples=1,
+    )
+    assert narrowed.x0_images.shape == (4, 1, 16, 16, 3)
+    np.testing.assert_allclose(
+        np.asarray(narrowed.x0_images[:, 0]), np.asarray(out.x0_images[:, 0]),
+        atol=1e-5,
+    )
     assert out.nfe == 4
     assert float(jnp.min(out.images)) >= 0.0 and float(jnp.max(out.images)) <= 1.0
     assert out.execution_time > 0

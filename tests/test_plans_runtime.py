@@ -182,3 +182,88 @@ def test_lcm_plan_runs():
     plan = LCMScheduler().build_plan(4)
     out = run_plan(plan, jnp.asarray(rnd(4), jnp.float32), lambda t, x: 0.1 * x, rng=jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ------------------------------------------------- interleave reference mode
+def test_interleave_reference_mode_side_by_side(capsys):
+    """mode='reference' reproduces the reference's index arithmetic exactly
+    (VERDICT r1 item 5): main advances consecutive full-schedule ladder
+    positions (diffusers _step_index never resyncs after deletions), the
+    DDIM inter runs its own coarser n//order schedule.  Printed side by side
+    with the well-defined ladder mode for the shipped sweep shape."""
+    from sonicdiffusionbayeslab_tpu.schedulers.ddim import ddim_transition_row
+    from sonicdiffusionbayeslab_tpu.schedulers.dpm import dpm_rows, make_ladder, simulate_orders
+
+    main = DPMSolverScheduler(solver_order=2)
+    inter = DDIMScheduler()
+    n, windows = 20, [2, 3]  # shipped interliving sweep shape (row 1)
+
+    ladder_plan = interleave_plan(main, inter, n, windows, mode="ladder")
+    ref_plan = interleave_plan(main, inter, n, windows, mode="reference")
+
+    # Identical deletions -> identical UNet conditioning sequences.
+    np.testing.assert_array_equal(ladder_plan.timesteps, ref_plan.timesteps)
+
+    print(f"{'i':>3} {'t':>6} {'owner':>10} {'w_sample lad':>14} {'w_sample ref':>14}")
+    for i, (rl, rr) in enumerate(zip(ladder_plan.rows, ref_plan.rows)):
+        print(f"{i:>3} {rl.timestep:>6.0f} {rr.tag:>10} {rl.w_sample:>14.6f} {rr.w_sample:>14.6f}")
+
+    # Before the first interleaved window both modes coincide ...
+    for i in range(4):
+        assert np.isclose(ladder_plan.rows[i].w_sample, ref_plan.rows[i].w_sample)
+    # ... and diverge from the first inter step on (the documented artifact).
+    later = [i for i in range(4, len(ref_plan.rows))
+             if not np.isclose(ladder_plan.rows[i].w_sample, ref_plan.rows[i].w_sample)]
+    assert later, "reference mode must diverge after the first window"
+
+    # Independent emulation of the reference bookkeeping (src/models.py:944-956
+    # + src/schedulers.py:112-113,179): executed entries + owners.
+    order = 2
+    ts = main.timesteps(n)
+    entries = []
+    for i, t in enumerate(int(x) for x in ts):
+        if i // order in set(windows):
+            if i % order == 0:
+                entries.append((i, t, "inter"))
+        else:
+            entries.append((i, t, "main"))
+    main_entries = [(k, e) for k, e in enumerate(entries) if e[2] == "main"]
+    positions = [main_entries[0][1][0] + j for j in range(len(main_entries))]
+    lad = make_ladder(main.schedule, ts, main.final_sigmas_type)
+    orders = simulate_orders(positions, len(ts), 2,
+                             lower_order_final=True, final_sigmas_type="zero")
+    want_main = dpm_rows(main.schedule, lad, positions, orders=orders,
+                         unet_timesteps=[e[1] for _, e in main_entries],
+                         **main._kw())
+    for (k, _), want in zip(main_entries, want_main):
+        got = ref_plan.rows[k]
+        assert np.isclose(got.w_sample, want.w_sample)
+        assert np.allclose(got.w_hist, want.w_hist)
+        assert got.timestep == want.timestep
+
+    # Inter steps: DDIM on its own n//order schedule -> stride 1000//10 = 100.
+    for k, (_, t, owner) in enumerate(entries):
+        if owner == "inter":
+            want = ddim_transition_row(inter.schedule, t, t - 100)
+            got = ref_plan.rows[k]
+            assert np.isclose(got.w_sample, want.w_sample)
+            assert np.isclose(got.w_eps, want.w_eps)
+
+    # The plan executes end-to-end.
+    x = jnp.asarray(rnd(0), jnp.float32)
+    out = jax.jit(lambda x: run_plan(ref_plan, x, lambda t, lat: 0.1 * lat))(x)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_interleave_reference_mode_unrunnable_combos_raise():
+    """The reference itself crashes for a DPM inter (uninitialized
+    _step_index in the cross-ring convert, src/models.py:1025-1053) and for
+    an interleaved window 0 — reference mode refuses these loudly."""
+    main = DPMSolverScheduler(solver_order=2)
+    with pytest.raises(NotImplementedError, match="crashes"):
+        interleave_plan(main, DPMSolverScheduler(solver_order=2), 20, [2, 3],
+                        mode="reference")
+    with pytest.raises(NotImplementedError, match="window 0"):
+        interleave_plan(main, DDIMScheduler(), 20, [0], mode="reference")
+    with pytest.raises(ValueError, match="unknown interleave mode"):
+        interleave_plan(main, DDIMScheduler(), 20, [2], mode="bogus")
