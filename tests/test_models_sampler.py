@@ -235,3 +235,40 @@ def test_sample_with_deepcache_branch1(engine, params):
     )
     assert np.isfinite(np.asarray(cached.images)).all()
     assert np.abs(np.asarray(cached.images) - np.asarray(full.images)).max() > 1e-6
+
+
+def test_compile_count_audit(engine, params):
+    """Sweep compile discipline (VERDICT r1 item 9): plans sharing the static
+    signature (num_steps, hist_depth, cfg-ness, noise-ness, ...) reuse ONE
+    compiled denoise program (models/sampler.py:136-150); only signature
+    changes (step count, solver order) add programs. Guards against changes
+    that silently explode sweep compile time."""
+    type(engine)._denoise_fn.cache_clear()
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    embeds = engine.encode_prompts(params, tok(["a", "b"]))
+    neg = engine.encode_prompts(params, tok(["", ""]))
+    key = jax.random.PRNGKey(0)
+
+    def run(plan):
+        engine.sample(params, plan, embeds, neg, key, latent_hw=(8, 8))
+
+    # Three same-signature plans (4 steps, order 2): different coefficient
+    # CONTENT, identical compiled program -> 1 miss, 2 hits.
+    run(DPMSolverScheduler(solver_order=2).build_plan(4))
+    run(DPMSolverScheduler(solver_order=2, use_karras_sigmas=True).build_plan(4))
+    run(DPMSolverScheduler(solver_order=2, solver_type="heun").build_plan(4))
+    info = type(engine)._denoise_fn.cache_info()
+    assert (info.misses, info.hits) == (1, 2), info
+
+    # A new step count is a new scan length -> exactly one more program.
+    run(DPMSolverScheduler(solver_order=2).build_plan(6))
+    assert type(engine)._denoise_fn.cache_info().misses == 2
+
+    # A new history depth (order 3) -> one more.
+    run(DPMSolverScheduler(solver_order=3).build_plan(6))
+    assert type(engine)._denoise_fn.cache_info().misses == 3
+
+    # Re-running the whole grid adds nothing.
+    run(DPMSolverScheduler(solver_order=2).build_plan(4))
+    run(DPMSolverScheduler(solver_order=2).build_plan(6))
+    assert type(engine)._denoise_fn.cache_info().misses == 3
