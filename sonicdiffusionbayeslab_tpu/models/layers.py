@@ -141,7 +141,14 @@ class ResnetBlock(nn.Module):
 
 
 class Attention(nn.Module):
-    """Multi-head attention over [B, N, C] with optional cross context."""
+    """Multi-head attention over [B, N, C] with optional cross context.
+
+    ``SDBL_FUSED_QKV=1`` fuses the q/k/v projections into one matmul
+    (qkv for self-attention, kv for cross-attention): one pass over the
+    activations instead of three (SURVEY P6).  NB: the fused variant has a
+    different param tree (``to_qkv``/``to_kv``) — benchmark-only until the
+    weight converter grows fused-entry support.
+    """
 
     num_heads: int
     head_dim: int
@@ -151,14 +158,23 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, mask=None) -> jax.Array:
+        import os
+
         ctx = x if context is None else context
         inner = self.num_heads * self.head_dim
         dense = lambda feats, name: nn.Dense(  # noqa: E731
             feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
-        q = dense(inner, "to_q")(x)
-        k = dense(inner, "to_k")(ctx)
-        v = dense(inner, "to_v")(ctx)
+        if os.environ.get("SDBL_FUSED_QKV", "") == "1":
+            if context is None:
+                q, k, v = jnp.split(dense(inner * 3, "to_qkv")(x), 3, axis=-1)
+            else:
+                q = dense(inner, "to_q")(x)
+                k, v = jnp.split(dense(inner * 2, "to_kv")(ctx), 2, axis=-1)
+        else:
+            q = dense(inner, "to_q")(x)
+            k = dense(inner, "to_k")(ctx)
+            v = dense(inner, "to_v")(ctx)
 
         B, N, _ = q.shape
         M = k.shape[1]

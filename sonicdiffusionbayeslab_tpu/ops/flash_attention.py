@@ -4,20 +4,32 @@ Shapes this serves (SD-1.5 @512px): self-attention over 4096/1024/256/64
 latent tokens with head_dim 40-160 (VAE mid: 4096 tokens, one 512-d head),
 and 77-token cross-attention.  At these sizes the whole K/V block fits VMEM,
 so the kernel is a single-pass blocked attention: each program owns one
-(batch*head, q-block) tile, streams K/V from VMEM once, does the fp32
+(batch, head, q-block) tile, streams K/V from VMEM once, does the fp32
 softmax on-chip, and writes the [BLOCK_Q, D] output tile.  No online-softmax
 rescan is needed below ~16k tokens — simpler and faster than a generic
 flash loop at SD scale.
 
-Padding contract (TPU tiling): head_dim is zero-padded to a lane multiple
-(128) — zero dims add nothing to q.k logits and produce zero output columns
-that are sliced off; the KV length is zero-padded to a sublane multiple with
--inf masking of the padded columns; the Q length is padded and sliced.
+Layout contract (round-2 fix of the measured r1 loss): head_dim is NOT
+padded in HBM — SD's D=40 heads were previously zero-padded to 128 lanes
+*in memory*, a 3.2x inflation of every q/k/v read and o write that cost the
+kernel its end-to-end win (docs/PERF.md).  Lane padding now happens only in
+VMEM (Mosaic's implicit tiling).  Two block layouts are selectable with
+``SDBL_PALLAS_LAYOUT``:
+
+* ``native`` (default): blocks are sliced straight from the model's
+  [B, N, H, D] tensors via a (batch, head, q-block) grid — zero relayout
+  ops in XLA, strided DMA.
+* ``bh``: one XLA moveaxis to [B*H, N, D] first — contiguous DMA rows, one
+  relayout (often fused into the producing projection).
+
+Sequence padding: KV length is zero-padded to a sublane multiple with -inf
+masking of the padded columns; Q length is padded and sliced.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,10 +41,16 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _rows(ref):
+    """Block -> [rows, D]: (1, L, 1, D) native or (1, L, D) bh layout."""
+    x = ref[...]
+    return x.reshape(x.shape[-3] if x.ndim == 4 else x.shape[-2], x.shape[-1])
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, m_valid: int):
-    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
-    k = k_ref[0].astype(jnp.float32)  # [M, D]
-    v = v_ref[0]  # [M, D]
+    q = _rows(q_ref).astype(jnp.float32)  # [BQ, D]
+    k = _rows(k_ref).astype(jnp.float32)  # [M, D]
+    v = _rows(v_ref)  # [M, D]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [BQ, M]
@@ -43,9 +61,79 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, m_valid: int):
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     p = (p / denom).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(
+    o = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
+    o_ref[...] = o.reshape(o_ref.shape)
+
+
+def _flash_native(q, k, v, *, interpret: bool) -> jax.Array:
+    """Blocks sliced straight from [B, N, H, D]; grid (B, H, N-blocks)."""
+    B, N, H, D = q.shape
+    M = k.shape[1]
+    scale = float(D) ** -0.5
+    BQ = 256 if N >= 256 else _ceil_to(N, 8)
+    Np, Mp = _ceil_to(N, BQ), _ceil_to(M, 8)
+    if Np != N:
+        q = jnp.pad(q, ((0, 0), (0, Np - N), (0, 0), (0, 0)))
+    if Mp != M:
+        k = jnp.pad(k, ((0, 0), (0, Mp - M), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Mp - M), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, m_valid=M),
+        grid=(B, H, Np // BQ),
+        in_specs=[
+            pl.BlockSpec((1, BQ, 1, D), lambda b, h, i: (b, i, h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, 1, D), lambda b, h, i: (b, 0, h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, 1, D), lambda b, h, i: (b, 0, h, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, 1, D), lambda b, h, i: (b, i, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, H, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * N * M * D,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * H * N * M,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :N] if Np != N else out
+
+
+def _flash_bh(q, k, v, *, interpret: bool) -> jax.Array:
+    """One moveaxis to [B*H, N, D] (contiguous rows), grid (B*H, N-blocks)."""
+    B, N, H, D = q.shape
+    M = k.shape[1]
+    scale = float(D) ** -0.5
+    BQ = 256 if N >= 256 else _ceil_to(N, 8)
+    Np, Mp = _ceil_to(N, BQ), _ceil_to(M, 8)
+
+    def to_bh(x, L, Lp):
+        x = jnp.moveaxis(x, 2, 1).reshape(B * H, L, D)
+        return jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0))) if Lp != L else x
+
+    qp, kp, vp = to_bh(q, N, Np), to_bh(k, M, Mp), to_bh(v, M, Mp)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, m_valid=M),
+        grid=(B * H, Np // BQ),
+        in_specs=[
+            pl.BlockSpec((1, BQ, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Np, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * N * M * D,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=B * H * N * M,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    out = out[:, :N].reshape(B, H, N, D)
+    return jnp.moveaxis(out, 1, 2)
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, interpret: bool = False) -> jax.Array:
@@ -54,38 +142,9 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, interpret: bool
     M = k.shape[1]
     if k.shape != (B, M, H, D) or v.shape != (B, M, H, D):
         raise ValueError(f"kv shape mismatch: {q.shape} vs {k.shape}/{v.shape}")
-
-    scale = float(D) ** -0.5
-    Dp = _ceil_to(D, 128)
-    BQ = 256 if N >= 256 else _ceil_to(N, 8)
-    Np = _ceil_to(N, BQ)
-    Mp = _ceil_to(M, 128)
-
-    # [B, N, H, D] -> [B*H, N, Dp]
-    def to_bh(x, L, Lp):
-        x = jnp.moveaxis(x, 2, 1).reshape(B * H, L, D)
-        return jnp.pad(x, ((0, 0), (0, Lp - L), (0, Dp - D)))
-
-    qp, kp, vp = to_bh(q, N, Np), to_bh(k, M, Mp), to_bh(v, M, Mp)
-
-    grid = (B * H, Np // BQ)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, m_valid=M),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, BQ, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, BQ, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, Np, Dp), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * N * M * D,
-            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=B * H * N * M,
-        ),
-        interpret=interpret,
-    )(qp, kp, vp)
-
-    out = out[:, :N, :D].reshape(B, H, N, D)
-    return jnp.moveaxis(out, 1, 2)
+    layout = os.environ.get("SDBL_PALLAS_LAYOUT", "native").strip().lower()
+    if layout == "bh":
+        return _flash_bh(q, k, v, interpret=interpret)
+    if layout != "native":
+        raise ValueError(f"unknown SDBL_PALLAS_LAYOUT {layout!r} (native | bh)")
+    return _flash_native(q, k, v, interpret=interpret)

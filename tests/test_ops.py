@@ -17,19 +17,28 @@ def rand(shape, seed):
     return jnp.asarray(np.random.default_rng(seed).standard_normal(shape), jnp.float32)
 
 
+@pytest.mark.parametrize("layout", ["native", "bh"])
 @pytest.mark.parametrize(
     "B,N,M,H,D",
     [
-        (1, 256, 256, 2, 40),   # SD self-attn head_dim 40 (padded to 128)
+        (1, 256, 256, 2, 40),   # SD self-attn head_dim 40 (lane-padded in VMEM only)
         (2, 300, 77, 2, 64),    # cross-attn: ragged N, short KV
         (1, 512, 512, 1, 128),  # lane-aligned
     ],
 )
-def test_flash_attention_matches_xla(B, N, M, H, D):
+def test_flash_attention_matches_xla(monkeypatch, layout, B, N, M, H, D):
+    monkeypatch.setenv("SDBL_PALLAS_LAYOUT", layout)
     q, k, v = rand((B, N, H, D), 0), rand((B, M, H, D), 1), rand((B, M, H, D), 2)
     got = flash_attention(q, k, v, interpret=True)
     want = _xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_rejects_unknown_layout(monkeypatch):
+    monkeypatch.setenv("SDBL_PALLAS_LAYOUT", "bogus")
+    q = rand((1, 8, 1, 16), 0)
+    with pytest.raises(ValueError, match="SDBL_PALLAS_LAYOUT"):
+        flash_attention(q, q, q, interpret=True)
 
 
 def test_flash_attention_softmax_stability():
