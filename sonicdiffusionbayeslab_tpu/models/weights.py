@@ -51,6 +51,14 @@ def _id(w):
     return np.asarray(w)
 
 
+def _lin_concat(arrs):  # [torch [out,in]] x k -> flax [in, k*out]
+    return np.concatenate([np.transpose(a) for a in arrs], axis=1)
+
+
+def _lin_concat_inv(w, k):  # flax [in, k*out] -> [torch [out,in]] x k
+    return [np.transpose(p) for p in np.split(w, k, axis=1)]
+
+
 # ---------------------------------------------------------------- UNet map
 def unet_name_map(cfg: UNetConfig) -> Dict[str, Tuple[str, Transform, Transform]]:
     """{flax_path: (diffusers_name, fwd_transform, inv_transform)}.
@@ -99,6 +107,19 @@ def unet_name_map(cfg: UNetConfig) -> Dict[str, Tuple[str, Transform, Transform]
                 for p in ("to_q", "to_k", "to_v"):
                     dense(f"{b_dst}/{a}/{p}", f"{b_src}.{a}.{p}", bias=False)
                 dense(f"{b_dst}/{a}/to_out", f"{b_src}.{a}.to_out.0")
+            # Fused-projection variants (SDBL_FUSED_QKV=1 param tree): both
+            # entry sets coexist in the map; convert() reads whichever paths
+            # the target tree actually has.
+            m[f"{b_dst}/attn1/to_qkv/kernel"] = (
+                tuple(f"{b_src}.attn1.{p}.weight" for p in ("to_q", "to_k", "to_v")),
+                _lin_concat,
+                lambda w: _lin_concat_inv(w, 3),
+            )
+            m[f"{b_dst}/attn2/to_kv/kernel"] = (
+                tuple(f"{b_src}.attn2.{p}.weight" for p in ("to_k", "to_v")),
+                _lin_concat,
+                lambda w: _lin_concat_inv(w, 2),
+            )
             dense(f"{b_dst}/ff/proj_in", f"{b_src}.ff.net.0.proj")
             dense(f"{b_dst}/ff/proj_out", f"{b_src}.ff.net.2")
             for i in (1, 2, 3):
@@ -294,6 +315,14 @@ def convert(
             missing.append(path)
             continue
         src_name, fwd, _ = name_map[path]
+        if isinstance(src_name, tuple):  # fused entry: k source tensors -> 1 target
+            absent = [s for s in src_name if s not in source]
+            if absent:
+                missing.append(f"{path} <- {absent[0]}")
+                continue
+            arrs = [np.asarray(source[s], dtype=np.float32) for s in src_name]
+            flat[path] = fwd(arrs).astype(dtype)
+            continue
         if src_name not in source:
             missing.append(f"{path} <- {src_name}")
             continue
@@ -310,6 +339,10 @@ def invert(
     out = {}
     for path, v in flatten(tree).items():
         src_name, _, inv = name_map[path]
+        if isinstance(src_name, tuple):  # fused entry: split back per source
+            for s, arr in zip(src_name, inv(np.asarray(v, np.float32))):
+                out[s] = arr
+            continue
         out[src_name] = inv(np.asarray(v, np.float32))
     return out
 
@@ -392,9 +425,16 @@ def merge_lora(
     """
     # Kohya mangling (dots -> underscores) is lossy; un-mangle by matching
     # against the known source-module names from the name map.
+    def _all_srcs():
+        for s, *_ in name_map.values():
+            if isinstance(s, tuple):
+                yield from s
+            else:
+                yield s
+
     demangle = {
         src[: -len(".weight")].replace(".", "_"): src[: -len(".weight")]
-        for src in (s for s, *_ in name_map.values())
+        for src in _all_srcs()
         if src.endswith(".weight")
     }
 
@@ -420,8 +460,17 @@ def merge_lora(
         if slot:
             pairs.setdefault(base, {})[slot] = np.asarray(v, np.float32)
 
-    # Index the name map by source torch name for reverse lookup.
-    by_src = {src: (dst, fwd) for dst, (src, fwd, _) in name_map.items()}
+    # Index the name map by source torch name for reverse lookup.  Fused
+    # entries (tuple sources, e.g. to_qkv) map each source to a column slot
+    # of the fused kernel.
+    by_src = {}
+    fused_by_src = {}
+    for dst, (src, fwd, _) in name_map.items():
+        if isinstance(src, tuple):
+            for slot, s in enumerate(src):
+                fused_by_src[s] = (dst, slot, len(src))
+        else:
+            by_src[src] = (dst, fwd)
     flat = flatten(unet_tree)
     merged = dict(flat)
     applied = 0
@@ -429,9 +478,6 @@ def merge_lora(
         if "down" not in p or "up" not in p:
             continue
         src_name = f"{base}.weight"
-        if src_name not in by_src:
-            continue
-        dst, fwd = by_src[src_name]
         down, up = p["down"], p["up"]
         rank = down.shape[0]
         alpha = p.get("alpha", float(rank))
@@ -440,8 +486,17 @@ def merge_lora(
         else:
             delta = up @ down
         delta = delta * (alpha / rank) * scale
-        merged[dst] = (flat[dst].astype(np.float32) + fwd(delta)).astype(flat[dst].dtype)
-        applied += 1
+        if src_name in by_src and by_src[src_name][0] in flat:
+            dst, fwd = by_src[src_name]
+            merged[dst] = (flat[dst].astype(np.float32) + fwd(delta)).astype(flat[dst].dtype)
+            applied += 1
+        elif src_name in fused_by_src and fused_by_src[src_name][0] in flat:
+            dst, slot, k = fused_by_src[src_name]
+            w = merged[dst].astype(np.float32)
+            out_dim = w.shape[1] // k
+            w[:, slot * out_dim:(slot + 1) * out_dim] += np.transpose(delta)
+            merged[dst] = w.astype(flat[dst].dtype)
+            applied += 1
     if applied == 0:
         raise KeyError("no LoRA tensors matched the UNet name map")
     return unflatten(merged)

@@ -252,3 +252,49 @@ def test_engine_sample_seq_parallel(engine, params):
     np.testing.assert_allclose(
         np.asarray(out.images), np.asarray(ref.images), atol=2e-4
     )
+
+
+def test_fused_qkv_conversion_and_lora_match_separate(engine, params, monkeypatch):
+    """SDBL_FUSED_QKV=1 param tree: converting the same torch state dict into
+    the fused tree gives bit-identical forwards to the separate tree, and a
+    LoRA targeting to_q/to_k/to_v lands in the right fused columns."""
+    nm = W.unet_name_map(engine.unet_config)
+    sep_tree = jax.tree.map(np.asarray, params["unet"])
+    torch_sd = W.invert(sep_tree, nm)
+
+    monkeypatch.setenv("SDBL_FUSED_QKV", "1")
+    fused_ref = engine.unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 77, 32)),
+    )["params"]
+    fused = W.convert(torch_sd, nm, W.flatten(fused_ref).keys())
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 4)), jnp.float32)
+    t = jnp.array([501.0, 501.0])
+    ctx = jnp.asarray(np.random.default_rng(1).standard_normal((2, 77, 32)), jnp.float32)
+    out_fused = engine.unet.apply({"params": fused}, x, t, ctx)
+    monkeypatch.delenv("SDBL_FUSED_QKV")
+    out_sep = engine.unet.apply({"params": sep_tree}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_sep),
+                               rtol=1e-5, atol=1e-5)
+
+    # LoRA on to_k: separate merge and fused merge must agree on the slice.
+    rng = np.random.default_rng(2)
+    k_src = "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_k"
+    kern = sep_tree["down_0_attn_0"]["block_0"]["attn1"]["to_k"]["kernel"]
+    d_in, d_out = kern.shape
+    r = 4
+    down = rng.standard_normal((r, d_in)).astype(np.float32)
+    up = rng.standard_normal((d_out, r)).astype(np.float32)
+    sd = {f"unet.{k_src}.lora_A.weight": down, f"unet.{k_src}.lora_B.weight": up}
+
+    merged_sep = W.merge_lora(sep_tree, sd, nm)
+    merged_fused = W.merge_lora(jax.tree.map(np.asarray, fused), sd, nm)
+    got = merged_fused["down_0_attn_0"]["block_0"]["attn1"]["to_qkv"]["kernel"][:, d_out:2 * d_out]
+    want = merged_sep["down_0_attn_0"]["block_0"]["attn1"]["to_k"]["kernel"]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # q slice untouched.
+    np.testing.assert_array_equal(
+        merged_fused["down_0_attn_0"]["block_0"]["attn1"]["to_qkv"]["kernel"][:, :d_out],
+        np.asarray(fused["down_0_attn_0"]["block_0"]["attn1"]["to_qkv"]["kernel"])[:, :d_out],
+    )
