@@ -16,11 +16,13 @@ kernel its end-to-end win (docs/PERF.md).  Lane padding now happens only in
 VMEM (Mosaic's implicit tiling).  Two block layouts are selectable with
 ``SDBL_PALLAS_LAYOUT``:
 
-* ``native`` (default): blocks are sliced straight from the model's
-  [B, N, H, D] tensors via a (batch, head, q-block) grid — zero relayout
-  ops in XLA, strided DMA.
-* ``bh``: one XLA moveaxis to [B*H, N, D] first — contiguous DMA rows, one
-  relayout (often fused into the producing projection).
+* ``bh`` (default): one XLA moveaxis to [B*H, N, D] first — contiguous DMA
+  rows, one relayout (often fused into the producing projection).
+* ``native`` (experimental): blocks sliced straight from the model's
+  [B, N, H, D] tensors — zero relayout ops.  Correct in interpret mode, but
+  current Mosaic cannot lower the per-head [BQ, D] -> [1, BQ, 1, D] store
+  shape cast on hardware ("infer-vector-layout: unsupported shape cast"),
+  so it is not usable on real TPUs yet (measured r2; see docs/PERF.md).
 
 Sequence padding: KV length is zero-padded to a sublane multiple with -inf
 masking of the padded columns; Q length is padded and sliced.
@@ -67,8 +69,32 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, m_valid: int):
     o_ref[...] = o.reshape(o_ref.shape)
 
 
+def _attn_kernel_native(q_ref, k_ref, v_ref, o_ref, *, scale: float, m_valid: int):
+    """Blocks carry ALL heads: q [1, BQ, H, D], k/v [1, M, H, D] (Mosaic
+    requires the last two block dims = array dims here, and full-H blocks
+    make every DMA row fully contiguous).  Heads unroll in-kernel."""
+    H = q_ref.shape[2]
+    for h in range(H):
+        q = q_ref[0, :, h, :].astype(jnp.float32)  # [BQ, D]
+        k = k_ref[0, :, h, :].astype(jnp.float32)  # [M, D]
+        v = v_ref[0, :, h, :]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if m_valid < k.shape[0]:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < m_valid, logits, jnp.finfo(jnp.float32).min)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        o_ref[0, :, h, :] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
 def _flash_native(q, k, v, *, interpret: bool) -> jax.Array:
-    """Blocks sliced straight from [B, N, H, D]; grid (B, H, N-blocks)."""
+    """Blocks sliced straight from [B, N, H, D]; grid (B, N-blocks); zero
+    relayout ops in XLA, fully contiguous [BQ, H*D] DMA rows."""
     B, N, H, D = q.shape
     M = k.shape[1]
     scale = float(D) ** -0.5
@@ -81,14 +107,14 @@ def _flash_native(q, k, v, *, interpret: bool) -> jax.Array:
         v = jnp.pad(v, ((0, 0), (0, Mp - M), (0, 0), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, m_valid=M),
-        grid=(B, H, Np // BQ),
+        functools.partial(_attn_kernel_native, scale=scale, m_valid=M),
+        grid=(B, Np // BQ),
         in_specs=[
-            pl.BlockSpec((1, BQ, 1, D), lambda b, h, i: (b, i, h, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, 1, D), lambda b, h, i: (b, 0, h, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, 1, D), lambda b, h, i: (b, 0, h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, H, D), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, H, D), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, H, D), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BQ, 1, D), lambda b, h, i: (b, i, h, 0),
+        out_specs=pl.BlockSpec((1, BQ, H, D), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Np, H, D), q.dtype),
         cost_estimate=pl.CostEstimate(
@@ -142,9 +168,9 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, interpret: bool
     M = k.shape[1]
     if k.shape != (B, M, H, D) or v.shape != (B, M, H, D):
         raise ValueError(f"kv shape mismatch: {q.shape} vs {k.shape}/{v.shape}")
-    layout = os.environ.get("SDBL_PALLAS_LAYOUT", "native").strip().lower()
-    if layout == "bh":
-        return _flash_bh(q, k, v, interpret=interpret)
-    if layout != "native":
-        raise ValueError(f"unknown SDBL_PALLAS_LAYOUT {layout!r} (native | bh)")
-    return _flash_native(q, k, v, interpret=interpret)
+    layout = os.environ.get("SDBL_PALLAS_LAYOUT", "bh").strip().lower()
+    if layout == "native":
+        return _flash_native(q, k, v, interpret=interpret)
+    if layout != "bh":
+        raise ValueError(f"unknown SDBL_PALLAS_LAYOUT {layout!r} (bh | native)")
+    return _flash_bh(q, k, v, interpret=interpret)
