@@ -2,6 +2,8 @@ from sonicdiffusionbayeslab_tpu.models.clip_text import CLIPTextConfig, CLIPText
 from sonicdiffusionbayeslab_tpu.models.sampler import (  # noqa: F401
     CachePlan,
     SampleOutput,
+    SDXLEngine,
+    SDXLTextConfigs,
     StableDiffusionEngine,
 )
 from sonicdiffusionbayeslab_tpu.models.unet import UNet2DCondition, UNetConfig  # noqa: F401

@@ -28,6 +28,7 @@ class CLIPTextConfig:
     num_heads: int = 12
     max_length: int = 77
     intermediate_size: int = 3072
+    hidden_act: str = "quick_gelu"  # OpenCLIP towers (SDXL bigG) use "gelu"
 
     @classmethod
     def tiny(cls) -> "CLIPTextConfig":
@@ -36,6 +37,18 @@ class CLIPTextConfig:
     @classmethod
     def sd15(cls) -> "CLIPTextConfig":
         return cls()
+
+    @classmethod
+    def sdxl_g(cls) -> "CLIPTextConfig":
+        """SDXL's second tower: OpenCLIP ViT-bigG text model
+        (stable-diffusion-xl-base-1.0 text_encoder_2/config.json)."""
+        return cls(hidden_size=1280, num_layers=32, num_heads=20,
+                   intermediate_size=5120, hidden_act="gelu")
+
+    @classmethod
+    def tiny_g(cls) -> "CLIPTextConfig":
+        return cls(vocab_size=1000, hidden_size=16, num_layers=2, num_heads=2,
+                   intermediate_size=32, hidden_act="gelu")
 
 
 def quick_gelu(x):
@@ -62,6 +75,7 @@ class CLIPAttention(nn.Module):
 class CLIPLayer(nn.Module):
     num_heads: int
     intermediate_size: int
+    hidden_act: str = "quick_gelu"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -73,7 +87,7 @@ class CLIPLayer(nn.Module):
         x = x + CLIPAttention(self.num_heads, name="attn", **kw)(h, mask)
         h = nn.LayerNorm(epsilon=1e-5, name="ln2", **kw)(x)
         h = nn.Dense(self.intermediate_size, name="fc1", **kw)(h)
-        h = quick_gelu(h)
+        h = quick_gelu(h) if self.hidden_act == "quick_gelu" else nn.gelu(h, approximate=False)
         x = x + nn.Dense(x.shape[-1], name="fc2", **kw)(h)
         return x
 
@@ -101,8 +115,14 @@ class CLIPTextModel(nn.Module):
         x = (tok + pos[None, :T]).astype(self.dtype)
 
         causal = jnp.tril(jnp.ones((T, T), bool))[None, None]  # [1, 1, T, T]
+        penultimate = None
         for i in range(cfg.num_layers):
-            x = CLIPLayer(cfg.num_heads, cfg.intermediate_size, name=f"layer_{i}", **kw)(x, causal)
+            if i == cfg.num_layers - 1:
+                # hidden_states[-2] in HF terms: the last layer's INPUT,
+                # un-normed — what SDXL conditions on (clip-skip style).
+                penultimate = x.astype(jnp.float32)
+            x = CLIPLayer(cfg.num_heads, cfg.intermediate_size, cfg.hidden_act,
+                          name=f"layer_{i}", **kw)(x, causal)
         x = nn.LayerNorm(epsilon=1e-5, name="final_ln", **kw)(x)
         x = x.astype(jnp.float32)
 
@@ -110,4 +130,8 @@ class CLIPTextModel(nn.Module):
         # token id in CLIP's vocab ordering — argmax convention).
         eot = jnp.argmax(input_ids, axis=-1)
         pooled = x[jnp.arange(B), eot]
-        return {"last_hidden_state": x, "pooled_output": pooled}
+        return {
+            "last_hidden_state": x,
+            "pooled_output": pooled,
+            "penultimate_hidden_state": penultimate,
+        }

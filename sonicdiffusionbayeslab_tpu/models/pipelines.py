@@ -44,13 +44,7 @@ class StableDiffusionModel:
         self.image_size = int(image_size)
         self.tiny = bool(tiny)
         dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-        if tiny:
-            self.engine = StableDiffusionEngine(
-                UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny(),
-                dtype=dt, param_dtype=dt,
-            )
-        else:
-            self.engine = StableDiffusionEngine(dtype=dt, param_dtype=dt)
+        self.engine = self._make_engine(dt, tiny)
         self.latent_hw = self.image_size // 8 if not tiny else 8
         self.params = self._load_params(pretrained_model, seed)
         tok_dir = Path(pretrained_model) / "tokenizer" if Path(pretrained_model).exists() else None
@@ -64,6 +58,22 @@ class StableDiffusionModel:
         self.cache_plan_fn = None  # DeepCache hook (set by DeepCacheMethod)
         self.guidance_rescale = 0.0
         self._embed_cache: Dict[str, np.ndarray] = {}
+        self._post_init()
+
+    def _make_engine(self, dt, tiny: bool) -> StableDiffusionEngine:
+        if tiny:
+            return StableDiffusionEngine(
+                UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny(),
+                dtype=dt, param_dtype=dt,
+            )
+        return StableDiffusionEngine(dtype=dt, param_dtype=dt)
+
+    def _post_init(self) -> None:
+        """Subclass hook (extra tokenizers etc.)."""
+
+    def _extra_sample_kwargs(self, batch: int) -> Dict[str, Any]:
+        """Subclass hook: extra engine.sample kwargs (SDXL added_cond)."""
+        return {}
 
     def _load_params(self, pretrained_model: str, seed: int) -> Dict[str, Any]:
         p = Path(pretrained_model)
@@ -166,6 +176,7 @@ class StableDiffusionModel:
             decode=output_type != "latent",
             init_latents=init_latents,
             blend=blend,
+            **self._extra_sample_kwargs(len(prompt)),
         )
         images = np.asarray(out.images) if out.images is not None else np.asarray(out.latents)
         x0 = np.asarray(out.x0_images) if out.x0_images is not None else None
@@ -212,6 +223,83 @@ class StableDiffusionModel:
                 return self
         self._pending_lora = None
         return self
+
+
+@models_registry.add_to_registry("stable_diffusion_xl_model")
+class StableDiffusionXLModel(StableDiffusionModel):
+    """SDXL text->image pipeline (beyond-reference model family).
+
+    Same sampling engine, schedulers, DeepCache, img2img/inpainting and
+    metric protocol as the SD pipeline; the deltas are SDXL's dual text
+    towers (CLIP ViT-L + OpenCLIP bigG, penultimate states concatenated)
+    and the text_time micro-conditioning (pooled bigG embedding + size/crop
+    time_ids) handed to the UNet's add_embedding.
+    """
+
+    def __init__(
+        self,
+        pretrained_model: str = "stabilityai/stable-diffusion-xl-base-1.0",
+        image_size: int = 1024,
+        tiny: bool = False,
+        dtype: str = "bfloat16",
+        seed: int = 0,
+        lora: str = None,
+    ):
+        super().__init__(pretrained_model=pretrained_model, image_size=image_size,
+                         tiny=tiny, dtype=dtype, seed=seed, lora=lora)
+
+    def _make_engine(self, dt, tiny: bool):
+        from sonicdiffusionbayeslab_tpu.models.sampler import SDXLEngine, SDXLTextConfigs
+
+        if tiny:
+            return SDXLEngine(
+                UNetConfig.tiny_xl(), VAEConfig.tiny(), SDXLTextConfigs.tiny(),
+                dtype=dt, param_dtype=dt,
+            )
+        return SDXLEngine(dtype=dt, param_dtype=dt)
+
+    def _post_init(self) -> None:
+        p = Path(self.pretrained_model)
+        tok2 = p / "tokenizer_2" if p.exists() else None
+        self.tokenizer2 = load_tokenizer(
+            str(tok2) if tok2 else None,
+            self.engine.text2_config.vocab_size,
+            self.engine.text2_config.max_length,
+        )
+        self._pooled_queue: list = []
+
+    def _load_params(self, pretrained_model: str, seed: int) -> Dict[str, Any]:
+        p = Path(pretrained_model)
+        if p.exists():
+            flax_ckpt = p / "flax_params"
+            if flax_ckpt.exists():
+                from sonicdiffusionbayeslab_tpu.models.weights import load_params
+
+                return load_params(flax_ckpt)
+            from sonicdiffusionbayeslab_tpu.models.weights import load_sdxl_checkpoint
+
+            return load_sdxl_checkpoint(p, self.engine)
+        return self.engine.init_params(seed=seed, latent_hw=self.latent_hw)
+
+    def _encode(self, prompts: Sequence[str]) -> jax.Array:
+        ids1 = self.tokenizer(list(prompts))
+        ids2 = self.tokenizer2(list(prompts))
+        ctx, pooled = self.engine.encode_prompts_xl(self.params, ids1, ids2)
+        self._pooled_queue.append(pooled)
+        return ctx
+
+    def _extra_sample_kwargs(self, batch: int) -> Dict[str, Any]:
+        # __call__ encodes positive first, then (under CFG) negative.
+        queue, self._pooled_queue = self._pooled_queue, []
+        size = float(self.image_size)
+        # time_ids = (orig_h, orig_w, crop_top, crop_left, target_h, target_w).
+        time_ids = jnp.tile(
+            jnp.asarray([[size, size, 0.0, 0.0, size, size]], jnp.float32), (batch, 1)
+        )
+        added = {"text_embeds": queue[0], "time_ids": time_ids}
+        if len(queue) > 1:
+            added["negative_text_embeds"] = queue[1]
+        return {"added_cond": added}
 
 
 @models_registry.add_to_registry("stable_diffusion_model_two_schedulers")

@@ -57,6 +57,27 @@ class CachePlan:
         return cls(full=np.ones(num_steps, bool))
 
 
+@dataclasses.dataclass(frozen=True)
+class SDXLTextConfigs:
+    """The two SDXL text towers: CLIP ViT-L (penultimate states) + OpenCLIP
+    bigG (penultimate states + projected pooled embedding)."""
+
+    text1: CLIPTextConfig
+    text2: CLIPTextConfig
+
+    @classmethod
+    def sdxl(cls) -> "SDXLTextConfigs":
+        return cls(CLIPTextConfig.sd15(), CLIPTextConfig.sdxl_g())
+
+    @classmethod
+    def tiny(cls) -> "SDXLTextConfigs":
+        return cls(
+            CLIPTextConfig(vocab_size=1000, hidden_size=16, num_layers=2,
+                           num_heads=2, intermediate_size=32),
+            CLIPTextConfig.tiny_g(),
+        )
+
+
 @dataclasses.dataclass
 class SampleOutput:
     images: jax.Array  # [B, H, W, 3] in [0, 1]
@@ -93,8 +114,14 @@ class StableDiffusionEngine:
         lat = jnp.zeros((1, latent_hw, latent_hw, self.unet_config.in_channels))
         ctx = jnp.zeros((1, self.text_config.max_length, self.unet_config.cross_attention_dim))
         ids = jnp.zeros((1, self.text_config.max_length), jnp.int32)
+        added = None
+        if self.unet_config.addition_time_embed_dim is not None:
+            pooled_dim = (self.unet_config.projection_class_embeddings_input_dim
+                          - 6 * self.unet_config.addition_time_embed_dim)
+            added = {"text_embeds": jnp.zeros((1, pooled_dim)),
+                     "time_ids": jnp.zeros((1, 6))}
         return {
-            "unet": self.unet.init(k1, lat, jnp.zeros((1,)), ctx)["params"],
+            "unet": self.unet.init(k1, lat, jnp.zeros((1,)), ctx, added)["params"],
             "vae": self.vae.init(k2, lat, method=self.vae.init_all)["params"],
             "text": self.text.init(k3, ids)["params"],
         }
@@ -150,17 +177,23 @@ class StableDiffusionEngine:
         init_scale: float = 1.0,
         use_blend: bool = False,
         x0_count: int = 1,
+        has_added: bool = False,  # SDXL text_time conditioning present
     ):
         unet = self.unet
 
         def denoise(unet_params, latents0, embeds, plan_xs, guidance, rescale, key,
-                    blend_mask=None, blend_source=None, blend_noise=None):
+                    blend_mask=None, blend_source=None, blend_noise=None,
+                    added_text=None, added_ids=None):
             """latents0 [B,h,w,4] fp32; embeds [2B or B, T, C]; plan_xs dict of [L,...].
 
             Inpainting (use_blend): after each scheduler step the kept
             region (mask == 0) is overwritten with the source latents
             re-noised to that row's output level (legacy masked-img2img;
             plan_xs carries per-row blend_a / blend_s)."""
+
+            added = (
+                {"text_embeds": added_text, "time_ids": added_ids} if has_added else None
+            )
 
             def body(carry, xs):
                 sched: SchedulerCarry = carry["sched"]
@@ -174,13 +207,13 @@ class StableDiffusionEngine:
                 if use_cache:
                     def full(c):
                         return unet.apply(
-                            {"params": unet_params}, lat_in, tb, embeds,
+                            {"params": unet_params}, lat_in, tb, embeds, added,
                             return_cache=True, cache_branch_id=cache_branch,
                         )
 
                     def cached(c):
                         return (
-                            unet.apply({"params": unet_params}, lat_in, tb, embeds,
+                            unet.apply({"params": unet_params}, lat_in, tb, embeds, added,
                                        cache=c, cache_branch_id=cache_branch),
                             c,
                         )
@@ -189,7 +222,7 @@ class StableDiffusionEngine:
                         xs["cache_full"] > 0, full, cached, carry["cache"]
                     )
                 else:
-                    noise_pred = unet.apply({"params": unet_params}, lat_in, tb, embeds)
+                    noise_pred = unet.apply({"params": unet_params}, lat_in, tb, embeds, added)
                     new_cache = None
 
                 noise_pred = noise_pred.astype(jnp.float32)
@@ -262,6 +295,9 @@ class StableDiffusionEngine:
         # Inpainting: (mask [B,h,w,1] 1=regenerate, source latents [B,h,w,4],
         # blend_a [R], blend_s [R]) — see _PlanBuilder.blend_schedule.
         blend: Optional[Tuple[jax.Array, jax.Array, np.ndarray, np.ndarray]] = None,
+        # SDXL text_time conditioning: {"text_embeds" [B,P] (positive pooled),
+        # "negative_text_embeds" [B,P] (CFG), "time_ids" [B,K]}.
+        added_cond: Optional[Dict[str, jax.Array]] = None,
     ) -> SampleOutput:
         """Generate images for one batch. Returns reference-contract output:
         (images, execution_time of the denoise loop only, optional x0 decodes)
@@ -321,6 +357,18 @@ class StableDiffusionEngine:
                 ),
             )
 
+        added_args = {}
+        if added_cond is not None:
+            pos = jnp.asarray(added_cond["text_embeds"])
+            ids = jnp.asarray(added_cond["time_ids"])
+            if do_cfg:
+                neg = jnp.asarray(
+                    added_cond.get("negative_text_embeds", jnp.zeros_like(pos))
+                )
+                pos = jnp.concatenate([neg, pos])
+                ids = jnp.concatenate([ids, ids])
+            added_args = dict(added_text=pos, added_ids=ids)
+
         fn = self._denoise_fn(
             plan.num_steps,
             plan.hist_depth,
@@ -334,6 +382,7 @@ class StableDiffusionEngine:
             float(plan.init_scale),
             blend is not None,
             B if x0_samples is None else max(1, min(int(x0_samples), B)),
+            added_cond is not None,
         )
 
         step_key = jax.random.fold_in(key, 0x5EED)
@@ -348,6 +397,7 @@ class StableDiffusionEngine:
             jnp.float32(guidance_rescale),
             step_key,
             **blend_args,
+            **added_args,
         )
         latents = jax.block_until_ready(latents)
         # On async remote backends (axon tunnel) block_until_ready can return
@@ -386,4 +436,73 @@ class StableDiffusionEngine:
             x0_images=x0_images,
             latents=latents,
             nfe=plan.nfe,
+        )
+
+
+class SDXLEngine(StableDiffusionEngine):
+    """SDXL-family engine: SDXL UNet (per-level transformer depth, text_time
+    micro-conditioning) + dual text towers (CLIP ViT-L + OpenCLIP bigG).
+
+    Beyond-reference model family (the reference is SD-1.5-only); the
+    sampling loop, schedulers, DeepCache, sharding, img2img/inpainting and
+    metrics all apply unchanged — SDXL differs only in the modules and the
+    ``added_cond`` micro-conditioning handed to :meth:`sample`.
+    """
+
+    def __init__(
+        self,
+        unet_config: UNetConfig = None,
+        vae_config: VAEConfig = None,
+        text_configs: "SDXLTextConfigs" = None,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.bfloat16,
+    ):
+        from sonicdiffusionbayeslab_tpu.models.vae import VAEConfig as _V
+
+        tc = text_configs or SDXLTextConfigs.sdxl()
+        super().__init__(
+            unet_config or UNetConfig.sdxl(),
+            vae_config or _V.sdxl(),
+            tc.text1,
+            dtype=dtype,
+            param_dtype=param_dtype,
+        )
+        self.text2_config = tc.text2
+        self.text2 = CLIPTextModel(self.text2_config, dtype=dtype, param_dtype=param_dtype)
+
+    def init_params(self, seed: int = 0, latent_hw: int = 128) -> Dict[str, Any]:
+        params = super().init_params(seed=seed, latent_hw=latent_hw)
+        k4, k5 = jax.random.split(jax.random.PRNGKey(seed ^ 0x5D31), 2)
+        ids = jnp.zeros((1, self.text2_config.max_length), jnp.int32)
+        params["text2"] = self.text2.init(k4, ids)["params"]
+        # OpenCLIP text projection (CLIPTextModelWithProjection.text_projection).
+        h2 = self.text2_config.hidden_size
+        params["text2_proj"] = {
+            "kernel": jax.random.normal(k5, (h2, h2), jnp.float32) * (h2 ** -0.5)
+        }
+        return params
+
+    @functools.cached_property
+    def encode_xl_fn(self):
+        @jax.jit
+        def encode(text_p, text2_p, proj, ids1, ids2):
+            o1 = self.text.apply({"params": text_p}, ids1)
+            o2 = self.text2.apply({"params": text2_p}, ids2)
+            # SDXL conditions on the PENULTIMATE hidden states of both towers
+            # (clip-skip convention), concatenated on the feature axis; the
+            # pooled embedding is bigG's EOT state through text_projection.
+            ctx = jnp.concatenate(
+                [o1["penultimate_hidden_state"], o2["penultimate_hidden_state"]],
+                axis=-1,
+            )
+            pooled = o2["pooled_output"] @ proj["kernel"]
+            return ctx, pooled
+
+        return encode
+
+    def encode_prompts_xl(self, params, ids1: np.ndarray, ids2: np.ndarray):
+        """-> (context [B, T, 2048], pooled [B, 1280])."""
+        return self.encode_xl_fn(
+            params["text"], params["text2"], params["text2_proj"],
+            jnp.asarray(ids1), jnp.asarray(ids2),
         )

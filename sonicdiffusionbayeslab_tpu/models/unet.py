@@ -37,17 +37,39 @@ from sonicdiffusionbayeslab_tpu.models.layers import (
 
 @dataclasses.dataclass(frozen=True)
 class UNetConfig:
-    """SD-1.5 defaults (runwayml/stable-diffusion-v1-5 unet/config.json)."""
+    """SD-1.5 defaults (runwayml/stable-diffusion-v1-5 unet/config.json).
+
+    ``transformer_depth`` and ``num_attention_heads`` accept either a scalar
+    (same at every level — SD-1.5) or a per-level tuple (SDXL:
+    transformer_layers_per_block=[1,2,10], num_attention_heads=[5,10,20]).
+
+    SDXL's text_time micro-conditioning (addition_embed_type="text_time"):
+    ``addition_time_embed_dim`` sinusoidally embeds each of the 6 time_ids,
+    the result concats with the pooled text embedding into a
+    ``projection_class_embeddings_input_dim``-wide vector fed through
+    add_embedding and ADDED to the timestep embedding.
+    """
 
     in_channels: int = 4
     out_channels: int = 4
     block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     cross_attention: Tuple[bool, ...] = (True, True, True, False)
-    transformer_depth: int = 1
-    num_attention_heads: int = 8
+    transformer_depth: int | Tuple[int, ...] = 1
+    num_attention_heads: int | Tuple[int, ...] = 8
     cross_attention_dim: int = 768
     freq_shift: float = 0.0  # unused placeholder for parity with HF config
+    # SDXL text_time additional conditioning (None = SD-1.5: absent).
+    addition_time_embed_dim: Optional[int] = None
+    projection_class_embeddings_input_dim: Optional[int] = None
+
+    def depth_at(self, lvl: int) -> int:
+        d = self.transformer_depth
+        return int(d[lvl]) if isinstance(d, (tuple, list)) else int(d)
+
+    def heads_at(self, lvl: int) -> int:
+        h = self.num_attention_heads
+        return int(h[lvl]) if isinstance(h, (tuple, list)) else int(h)
 
     @classmethod
     def tiny(cls) -> "UNetConfig":
@@ -64,6 +86,34 @@ class UNetConfig:
     def sd15(cls) -> "UNetConfig":
         return cls()
 
+    @classmethod
+    def sdxl(cls) -> "UNetConfig":
+        """stabilityai/stable-diffusion-xl-base-1.0 unet/config.json."""
+        return cls(
+            block_out_channels=(320, 640, 1280),
+            layers_per_block=2,
+            cross_attention=(False, True, True),
+            transformer_depth=(1, 2, 10),
+            num_attention_heads=(5, 10, 20),
+            cross_attention_dim=2048,
+            addition_time_embed_dim=256,
+            projection_class_embeddings_input_dim=2816,  # 1280 pooled + 6*256
+        )
+
+    @classmethod
+    def tiny_xl(cls) -> "UNetConfig":
+        """2-level SDXL-shaped UNet (per-level depth/heads + text_time cond)."""
+        return cls(
+            block_out_channels=(32, 64),
+            layers_per_block=1,
+            cross_attention=(False, True),
+            transformer_depth=(1, 2),
+            num_attention_heads=(2, 4),
+            cross_attention_dim=32,
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=16 + 6 * 8,  # pooled 16 + ids
+        )
+
 
 class UNet2DCondition(nn.Module):
     config: UNetConfig
@@ -76,6 +126,7 @@ class UNet2DCondition(nn.Module):
         sample: jax.Array,  # [B, H, W, C_in]
         timesteps: jax.Array,  # [B] or scalar
         encoder_hidden_states: jax.Array,  # [B, T, cross_attention_dim]
+        added_cond: Optional[dict] = None,  # SDXL text_time: {text_embeds, time_ids}
         cache: Optional[jax.Array] = None,  # deep-feature injection (DeepCache)
         return_cache: bool = False,  # also return the deep trunk's features
         cache_branch_id: int = 0,  # static: depth of the shallow/trunk split
@@ -89,6 +140,30 @@ class UNet2DCondition(nn.Module):
         t_emb = TimestepEmbedMLP(cfg.block_out_channels[0] * 4, name="time_embedding", **kw)(
             t_emb.astype(self.dtype)
         )
+        if cfg.addition_time_embed_dim is not None:
+            # SDXL text_time micro-conditioning (diffusers addition_embed_type
+            # "text_time"): sinusoid each time_id, concat with the pooled text
+            # embedding, project through add_embedding, add to the time emb.
+            if added_cond is None:
+                raise ValueError(
+                    "this UNet config requires added_cond={'text_embeds', 'time_ids'}"
+                )
+            ids = added_cond["time_ids"].astype(jnp.float32)
+            B, K = ids.shape
+            id_emb = timestep_embedding(ids.reshape(-1), cfg.addition_time_embed_dim)
+            id_emb = id_emb.reshape(B, K * cfg.addition_time_embed_dim)
+            add_in = jnp.concatenate(
+                [added_cond["text_embeds"].astype(jnp.float32), id_emb], axis=-1
+            )
+            want = cfg.projection_class_embeddings_input_dim
+            if want is not None and add_in.shape[-1] != want:
+                raise ValueError(
+                    f"added_cond width {add_in.shape[-1]} != "
+                    f"projection_class_embeddings_input_dim {want}"
+                )
+            t_emb = t_emb + TimestepEmbedMLP(
+                cfg.block_out_channels[0] * 4, name="add_embedding", **kw
+            )(add_in.astype(self.dtype))
         ctx = encoder_hidden_states.astype(self.dtype)
 
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in", **kw)(
@@ -98,11 +173,12 @@ class UNet2DCondition(nn.Module):
         def res(ch, name):
             return ResnetBlock(ch, name=name, **kw)
 
-        def xfmr(ch, name):
+        def xfmr(ch, name, lvl):
+            heads = cfg.heads_at(lvl)
             return SpatialTransformer(
-                cfg.num_attention_heads,
-                ch // cfg.num_attention_heads,
-                depth=cfg.transformer_depth,
+                heads,
+                ch // heads,
+                depth=cfg.depth_at(lvl),
                 name=name,
                 **kw,
             )
@@ -128,7 +204,7 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block):
                 h = res(ch, f"down_{lvl}_res_{j}")(h, t_emb)
                 if cfg.cross_attention[lvl]:
-                    h = xfmr(ch, f"down_{lvl}_attn_{j}")(h, ctx)
+                    h = xfmr(ch, f"down_{lvl}_attn_{j}", lvl)(h, ctx)
                 skips.append(h)
             # Level b's downsample feeds (and its skip is consumed by) the
             # trunk only, so the shallow pass stops before it.
@@ -140,7 +216,7 @@ class UNet2DCondition(nn.Module):
             # ---- mid -----------------------------------------------------
             mid_ch = cfg.block_out_channels[-1]
             h = res(mid_ch, "mid_res_0")(h, t_emb)
-            h = xfmr(mid_ch, "mid_attn")(h, ctx)
+            h = xfmr(mid_ch, "mid_attn", n_levels - 1)(h, ctx)
             h = res(mid_ch, "mid_res_1")(h, t_emb)
 
             # ---- up stack through the deep levels ------------------------
@@ -150,7 +226,7 @@ class UNet2DCondition(nn.Module):
                     skip = skips.pop()
                     h = res(ch, f"up_{lvl}_res_{j}")(jnp.concatenate([h, skip], axis=-1), t_emb)
                     if cfg.cross_attention[lvl]:
-                        h = xfmr(ch, f"up_{lvl}_attn_{j}")(h, ctx)
+                        h = xfmr(ch, f"up_{lvl}_attn_{j}", lvl)(h, ctx)
                 h = Upsample(ch, name=f"up_{lvl}_upsample", **kw)(h)
             deep_features = h
         else:
@@ -164,7 +240,7 @@ class UNet2DCondition(nn.Module):
                 skip = skips.pop()
                 h = res(ch, f"up_{lvl}_res_{j}")(jnp.concatenate([h, skip], axis=-1), t_emb)
                 if cfg.cross_attention[lvl]:
-                    h = xfmr(ch, f"up_{lvl}_attn_{j}")(h, ctx)
+                    h = xfmr(ch, f"up_{lvl}_attn_{j}", lvl)(h, ctx)
             if lvl > 0:
                 h = Upsample(ch, name=f"up_{lvl}_upsample", **kw)(h)
 

@@ -43,6 +43,12 @@ class VAEConfig:
     def sd15(cls) -> "VAEConfig":
         return cls()
 
+    @classmethod
+    def sdxl(cls) -> "VAEConfig":
+        """Same geometry as SD's KL-VAE; SDXL retrained it (scaling factor
+        0.13025, stable-diffusion-xl-base-1.0 vae/config.json)."""
+        return cls(scaling_factor=0.13025)
+
 
 class Decoder(nn.Module):
     config: VAEConfig

@@ -94,13 +94,16 @@ def unet_name_map(cfg: UNetConfig) -> Dict[str, Tuple[str, Transform, Transform]
         # presence in the target tree (convert() skips absent paths).
         conv(f"{dst}/conv_shortcut", f"{src}.conv_shortcut")
 
-    def xfmr(dst, src, depth):
+    def xfmr(dst, src, depth, linear_proj=False):
         norm(f"{dst}/norm", f"{src}.norm")
-        # SD-1.5 uses 1x1-conv projections (use_linear_projection=False).
-        m[f"{dst}/proj_in/kernel"] = (f"{src}.proj_in.weight", _conv1x1_to_dense, _conv1x1_to_dense_inv)
-        m[f"{dst}/proj_in/bias"] = (f"{src}.proj_in.bias", _id, _id)
-        m[f"{dst}/proj_out/kernel"] = (f"{src}.proj_out.weight", _conv1x1_to_dense, _conv1x1_to_dense_inv)
-        m[f"{dst}/proj_out/bias"] = (f"{src}.proj_out.bias", _id, _id)
+        if linear_proj:  # SDXL: use_linear_projection=True
+            dense(f"{dst}/proj_in", f"{src}.proj_in")
+            dense(f"{dst}/proj_out", f"{src}.proj_out")
+        else:  # SD-1.5: 1x1-conv projections
+            m[f"{dst}/proj_in/kernel"] = (f"{src}.proj_in.weight", _conv1x1_to_dense, _conv1x1_to_dense_inv)
+            m[f"{dst}/proj_in/bias"] = (f"{src}.proj_in.bias", _id, _id)
+            m[f"{dst}/proj_out/kernel"] = (f"{src}.proj_out.weight", _conv1x1_to_dense, _conv1x1_to_dense_inv)
+            m[f"{dst}/proj_out/bias"] = (f"{src}.proj_out.bias", _id, _id)
         for d in range(depth):
             b_dst, b_src = f"{dst}/block_{d}", f"{src}.transformer_blocks.{d}"
             for a in ("attn1", "attn2"):
@@ -128,6 +131,12 @@ def unet_name_map(cfg: UNetConfig) -> Dict[str, Tuple[str, Transform, Transform]
     conv("conv_in", "conv_in")
     dense("time_embedding/fc1", "time_embedding.linear_1")
     dense("time_embedding/fc2", "time_embedding.linear_2")
+    if cfg.addition_time_embed_dim is not None:  # SDXL text_time conditioning
+        dense("add_embedding/fc1", "add_embedding.linear_1")
+        dense("add_embedding/fc2", "add_embedding.linear_2")
+    # SDXL uses linear transformer projections; presence of per-level depth
+    # or text_time conditioning marks the SDXL family.
+    linear_proj = cfg.addition_time_embed_dim is not None
 
     n = len(cfg.block_out_channels)
     for lvl in range(n):
@@ -137,21 +146,23 @@ def unet_name_map(cfg: UNetConfig) -> Dict[str, Tuple[str, Transform, Transform]
                 xfmr(
                     f"down_{lvl}_attn_{j}",
                     f"down_blocks.{lvl}.attentions.{j}",
-                    cfg.transformer_depth,
+                    cfg.depth_at(lvl),
+                    linear_proj,
                 )
         if lvl < n - 1:
             conv(f"down_{lvl}_downsample/conv", f"down_blocks.{lvl}.downsamplers.0.conv")
 
     resnet("mid_res_0", "mid_block.resnets.0")
     resnet("mid_res_1", "mid_block.resnets.1")
-    xfmr("mid_attn", "mid_block.attentions.0", cfg.transformer_depth)
+    xfmr("mid_attn", "mid_block.attentions.0", cfg.depth_at(n - 1), linear_proj)
 
     for lvl in range(n):
         k = n - 1 - lvl  # diffusers up_blocks index
         for j in range(cfg.layers_per_block + 1):
             resnet(f"up_{lvl}_res_{j}", f"up_blocks.{k}.resnets.{j}")
             if cfg.cross_attention[lvl]:
-                xfmr(f"up_{lvl}_attn_{j}", f"up_blocks.{k}.attentions.{j}", cfg.transformer_depth)
+                xfmr(f"up_{lvl}_attn_{j}", f"up_blocks.{k}.attentions.{j}",
+                     cfg.depth_at(lvl), linear_proj)
         if lvl > 0:
             conv(f"up_{lvl}_upsample/conv", f"up_blocks.{k}.upsamplers.0.conv")
 
@@ -388,6 +399,45 @@ def load_sd_checkpoint(snapshot_dir: str | Path, engine, dtype=np.float32) -> di
         ),
         "text": convert(find("text_encoder"), clip_text_name_map(engine.text_config.num_layers),
                         flatten(ref["text"]).keys(), dtype),
+    }
+    return out
+
+
+def load_sdxl_checkpoint(snapshot_dir: str | Path, engine, dtype=np.float32) -> dict:
+    """diffusers SDXL snapshot dir -> {unet, vae, text, text2, text2_proj}
+    param tree, shaped/validated against ``engine``'s random-init tree.
+
+    text_encoder = CLIP ViT-L, text_encoder_2 = OpenCLIP bigG with
+    ``text_projection`` (CLIPTextModelWithProjection layout)."""
+    snapshot_dir = Path(snapshot_dir)
+    ref = engine.init_params(seed=0)
+
+    def find(sub):
+        d = snapshot_dir / sub
+        for name in ("diffusion_pytorch_model.bin", "pytorch_model.bin",
+                     "diffusion_pytorch_model.safetensors", "model.safetensors"):
+            if (d / name).exists():
+                return load_torch_state_dict(d / name)
+        raise FileNotFoundError(f"no checkpoint under {d}")
+
+    sd2 = find("text_encoder_2")
+    out = {
+        "unet": convert(find("unet"), unet_name_map(engine.unet_config),
+                        flatten(ref["unet"]).keys(), dtype),
+        "vae": convert(
+            find("vae"),
+            vae_name_map(len(engine.vae_config.block_out_channels),
+                         engine.vae_config.layers_per_block),
+            flatten(ref["vae"]).keys(),
+            dtype,
+        ),
+        "text": convert(find("text_encoder"), clip_text_name_map(engine.text_config.num_layers),
+                        flatten(ref["text"]).keys(), dtype),
+        "text2": convert(sd2, clip_text_name_map(engine.text2_config.num_layers),
+                         flatten(ref["text2"]).keys(), dtype),
+        "text2_proj": {
+            "kernel": _lin(np.asarray(sd2["text_projection.weight"], np.float32)).astype(dtype)
+        },
     }
     return out
 

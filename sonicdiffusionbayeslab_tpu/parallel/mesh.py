@@ -75,6 +75,8 @@ def shard_latents(mesh: Mesh, latents):
 _TP_RULES: Dict[str, P] = {
     # attention projections: split heads (out dim of q/k/v, in dim of out-proj)
     r".*/(to_q|to_k|to_v|q_proj|k_proj|v_proj)/kernel$": P(None, "model"),
+    # fused projections (SDBL_FUSED_QKV trees): split the concatenated out dim
+    r".*/(to_qkv|to_kv)/kernel$": P(None, "model"),
     r".*/(to_out|out_proj)/kernel$": P("model", None),
     # transformer MLP: split hidden
     r".*/ff/proj_in/kernel$": P(None, "model"),

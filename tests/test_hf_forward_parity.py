@@ -73,6 +73,46 @@ def test_clip_text_forward_matches_hf():
     )
 
 
+def test_clip_text_gelu_penultimate_matches_hf():
+    """SDXL's bigG-style tower: hidden_act='gelu' + the PENULTIMATE hidden
+    state (hidden_states[-2], un-normed — what SDXL conditions on) + the
+    projected pooled embedding (CLIPTextModelWithProjection)."""
+    from transformers import CLIPTextConfig as HFTextConfig
+    from transformers import CLIPTextModelWithProjection
+
+    from sonicdiffusionbayeslab_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+
+    torch.manual_seed(1)
+    hf_cfg = HFTextConfig(
+        vocab_size=1000, hidden_size=32, num_hidden_layers=3,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=77, hidden_act="gelu",
+        eos_token_id=2, bos_token_id=0, pad_token_id=1, projection_dim=16,
+    )
+    hf = CLIPTextModelWithProjection(hf_cfg).eval()
+
+    cfg = CLIPTextConfig(vocab_size=1000, hidden_size=32, num_layers=3,
+                         num_heads=2, intermediate_size=64, hidden_act="gelu")
+    ours = CLIPTextModel(cfg)
+    ref = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))["params"]
+    params = convert(_to_np_sd(hf), clip_text_name_map(3), flatten(ref).keys())
+
+    ids = np.random.default_rng(3).integers(3, 1000, (2, 10))
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(ids), output_hidden_states=True)
+    mine = ours.apply({"params": params}, jnp.asarray(ids, jnp.int32))
+
+    np.testing.assert_allclose(
+        np.asarray(mine["penultimate_hidden_state"]),
+        out.hidden_states[-2].numpy(), atol=ATOL, rtol=RTOL,
+    )
+    proj = np.transpose(hf.text_projection.weight.detach().numpy())
+    np.testing.assert_allclose(
+        np.asarray(mine["pooled_output"]) @ proj,
+        out.text_embeds.numpy(), atol=ATOL, rtol=RTOL,
+    )
+
+
 def test_clip_dual_forward_matches_hf():
     from transformers import CLIPConfig, CLIPModel
     from transformers import CLIPVisionConfig as HFVisionConfig
