@@ -85,11 +85,15 @@ KNOWN_SECTIONS = REQUIRED_SECTIONS + (
     "quality_metrics",
     "logger",
     "experiment_params",
+    "training",
 )
+# sdbl-train configs: no sweep method / inference protocol, a training section.
+REQUIRED_TRAINING_SECTIONS = ("model", "dataset", "training")
 
 
 def validate_config(cfg: ConfigNode) -> ConfigNode:
-    missing = [s for s in REQUIRED_SECTIONS if s not in cfg]
+    required = REQUIRED_TRAINING_SECTIONS if "training" in cfg else REQUIRED_SECTIONS
+    missing = [s for s in required if s not in cfg]
     if missing:
         raise ConfigError(f"config missing required sections {missing}")
     unknown = [s for s in cfg if s not in KNOWN_SECTIONS]
@@ -97,7 +101,7 @@ def validate_config(cfg: ConfigNode) -> ConfigNode:
         raise ConfigError(
             f"config has unknown sections {unknown}; known: {sorted(KNOWN_SECTIONS)}"
         )
-    if "method" not in cfg.experiment:
+    if "training" not in cfg and "method" not in cfg.experiment:
         raise ConfigError("config experiment section must set 'method'")
     if "model_name" not in cfg.model:
         raise ConfigError("config model section must set 'model_name'")

@@ -1,0 +1,149 @@
+"""Config-driven fine-tuning loop (``sdbl-train``).
+
+Drives :class:`DiffusionTrainer` from the same YAML surface as the
+experiment CLI: the ``model`` / ``dataset`` sections are shared, a
+``training`` section adds the optimizer/LoRA knobs.  The loop:
+
+  images + captions -> VAE encode (frozen) + text encode (frozen)
+  -> jitted train_step (noise, UNet, loss, optax, EMA)
+  -> periodic metric logging + orbax checkpoints (+ LoRA export in the
+     peft layout merge_lora consumes)
+
+Multi-chip: pass ``mesh_*`` axes in the training section; params are placed
+by the inference TP rules, the batch is sharded on ``data``, and GSPMD
+inserts the gradient reductions (SURVEY §2.3 design).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonicdiffusionbayeslab_tpu.training.trainer import DiffusionTrainer, TrainConfig
+
+
+def train_config_from_dict(d: Dict[str, Any]) -> TrainConfig:
+    import dataclasses
+
+    keep = {f.name for f in dataclasses.fields(TrainConfig)}
+    kw = {k: v for k, v in dict(d).items() if k in keep}
+    if "betas" in kw:
+        kw["betas"] = tuple(kw["betas"])
+    return TrainConfig(**kw)
+
+
+def run_training(config) -> Dict[str, Any]:
+    """Returns {"losses": [...], "state": TrainState, "trainer": ...}."""
+    from sonicdiffusionbayeslab_tpu.data.dataset import ImageDatasetWithPrompts, batched
+    from sonicdiffusionbayeslab_tpu.registry import load_all_plugins, models_registry
+
+    load_all_plugins()
+    tcfg_raw = dict(config.get("training", {}))
+    num_steps = int(tcfg_raw.pop("num_steps", 100))
+    batch_size = int(tcfg_raw.pop("batch_size", config.get("inference", {}).get("batch_size", 4)))
+    log_every = int(tcfg_raw.pop("log_every", 10))
+    save_every = int(tcfg_raw.pop("save_every", 0))
+    save_dir = tcfg_raw.pop("save_dir", None)
+    seed = int(config.get("experiment", {}).get("seed", 29))
+    n_data = int(tcfg_raw.pop("mesh_data", 0))
+    n_model = int(tcfg_raw.pop("mesh_model", 1))
+    tcfg = train_config_from_dict(tcfg_raw)
+
+    mcfg = dict(config.model)
+    name = mcfg.pop("model_name", "stable_diffusion_model")
+    mcfg.setdefault("image_size", config.dataset.get("image_size", 512))
+    pipe = models_registry[name](**mcfg)
+    engine, params = pipe.engine, pipe.params
+
+    dcfg = config.dataset
+    dataset = ImageDatasetWithPrompts(
+        dcfg["img_dataset"], dcfg["prompts"], dcfg.get("image_size", 512)
+    )
+
+    trainer = DiffusionTrainer(engine, tcfg)
+    key = jax.random.PRNGKey(seed)
+    state = trainer.init_state(params, key=key)
+
+    mesh = None
+    if n_data:
+        from sonicdiffusionbayeslab_tpu.parallel import make_mesh, shard_params
+
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        params = shard_params(params, mesh)
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+
+    losses: list = []
+    step = 0
+    t0 = time.perf_counter()
+    while step < num_steps:
+        for batch in batched(dataset, batch_size, drop_remainder=True):
+            if step >= num_steps:
+                break
+            images = jnp.asarray(batch["image"], jnp.float32)
+            enc_key = jax.random.fold_in(key, 1000 + step)
+            latents = engine.encode_image_fn(params["vae"], images, enc_key)
+            ids = pipe.tokenizer(list(batch["prompt"]))
+            context = engine.encode_prompts(params, ids)
+            if mesh is not None:
+                from sonicdiffusionbayeslab_tpu.parallel import shard_batch
+
+                latents, context = shard_batch(mesh, latents, context)
+            state, metrics = trainer.train_step(state, params, latents, context, key)
+            step += 1
+            if step % log_every == 0 or step == num_steps:
+                loss = float(metrics["loss"])
+                losses.append(loss)
+                rate = step / (time.perf_counter() - t0)
+                print(f"step {step}/{num_steps} loss {loss:.4f} "
+                      f"grad_norm {float(metrics['grad_norm']):.3f} ({rate:.2f} it/s)")
+            if save_every and save_dir and step % save_every == 0:
+                _save(trainer, state, params, engine, Path(save_dir), step)
+    if save_dir:
+        _save(trainer, state, params, engine, Path(save_dir), step, final=True)
+    return {"losses": losses, "state": state, "trainer": trainer, "params": params}
+
+
+def _save(trainer, state, params, engine, save_dir: Path, step: int, final: bool = False):
+    from sonicdiffusionbayeslab_tpu.models.weights import save_params
+
+    tag = "final" if final else f"step_{step}"
+    out = save_dir / tag
+    if trainer.config.lora_rank > 0:
+        # Export the adapters in the peft layout merge_lora consumes.
+        from sonicdiffusionbayeslab_tpu.models.weights import unet_name_map
+        from sonicdiffusionbayeslab_tpu.training.lora import lora_to_peft_state_dict
+
+        sd = lora_to_peft_state_dict(
+            jax.tree.map(np.asarray, state.trainable), unet_name_map(engine.unet_config)
+        )
+        out.mkdir(parents=True, exist_ok=True)
+        np.savez(out / "lora_peft.npz", **sd)
+    else:
+        save_params({"unet": trainer.unet_params(state, params)}, out)
+    print(f"saved {tag} -> {out}")
+
+
+def main() -> None:
+    import argparse
+
+    from sonicdiffusionbayeslab_tpu.config import load_config
+    from sonicdiffusionbayeslab_tpu.parallel.distributed import initialize as init_distributed
+    from sonicdiffusionbayeslab_tpu.utils.compilation_cache import enable as enable_cache
+
+    parser = argparse.ArgumentParser(description="SonicDiffusionBayesLab-TPU fine-tuning")
+    parser.add_argument("--config", dest="config", required=True)
+    args = parser.parse_args()
+    init_distributed()
+    enable_cache()
+    run_training(load_config(args.config))
+
+
+if __name__ == "__main__":
+    main()

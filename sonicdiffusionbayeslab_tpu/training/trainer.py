@@ -1,0 +1,193 @@
+"""The jitted diffusion train step.
+
+One ``jax.jit``-compiled function per (batch shape, trainable-set) signature
+does everything: timestep + noise sampling, forward-process noising, UNet
+forward, prediction-target loss (epsilon / v_prediction, optional min-SNR
+weighting), gradient, global-norm clip, optax update, and EMA — so a
+training run is one dispatch per step, the same shape that makes the
+sampler fast on this hardware.
+
+Parallelism is the inference layout reused: params placed by
+``parallel.shard_params`` (TP rules or replicated), batch sharded over the
+``data`` axis, and GSPMD inserts the gradient ``psum`` — there is no
+hand-written allreduce anywhere (scaling-book recipe, SURVEY §2.3).
+
+The forward process follows the DDPM/LDM formulation on the same
+float64-precomputed ``alphas_cumprod`` table the samplers use
+(schedulers/schedule.py), so train/sample noise math agree to the digit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sonicdiffusionbayeslab_tpu.schedulers.schedule import NoiseSchedule, ScheduleConfig
+from sonicdiffusionbayeslab_tpu.training.lora import DEFAULT_TARGETS, apply_lora, init_lora
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-2
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    warmup_steps: int = 0
+    max_grad_norm: float = 1.0
+    prediction_type: str = "epsilon"  # epsilon | v_prediction
+    snr_gamma: Optional[float] = None  # min-SNR-gamma loss weighting (None = uniform)
+    ema_decay: Optional[float] = None  # None = no EMA shadow
+    # LoRA mode: rank > 0 trains adapters only (base UNet frozen).
+    lora_rank: int = 0
+    lora_targets: str = DEFAULT_TARGETS
+    lora_scale: float = 1.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jax.Array  # scalar int32
+    trainable: Any  # UNet param tree, or LoRA adapter tree in LoRA mode
+    opt_state: Any
+    ema: Any  # shadow of `trainable` or None
+
+
+class DiffusionTrainer:
+    """Builds and caches the jitted train step for an engine's UNet."""
+
+    def __init__(
+        self,
+        engine,
+        config: TrainConfig = TrainConfig(),
+        schedule_config: ScheduleConfig = None,
+    ):
+        self.engine = engine
+        self.config = config
+        self.schedule = NoiseSchedule.create(schedule_config or ScheduleConfig())
+        if config.prediction_type not in ("epsilon", "v_prediction"):
+            raise ValueError(f"unknown prediction_type {config.prediction_type!r}")
+        self._tx = self._make_optimizer()
+        self._step_fn = None
+
+    # ----------------------------------------------------------- optimizer
+    def _make_optimizer(self) -> optax.GradientTransformation:
+        cfg = self.config
+        if cfg.warmup_steps > 0:
+            lr = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+        else:
+            lr = cfg.learning_rate
+        chain = []
+        if cfg.max_grad_norm and cfg.max_grad_norm > 0:
+            chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
+        chain.append(
+            optax.adamw(
+                lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
+                weight_decay=cfg.weight_decay,
+            )
+        )
+        return optax.chain(*chain)
+
+    # ----------------------------------------------------------- state
+    def init_state(self, params: Dict[str, Any], key: Optional[jax.Array] = None) -> TrainState:
+        """LoRA mode (lora_rank > 0): trainable = fresh adapters over the
+        frozen UNet.  Full mode: trainable = the UNet tree itself (a float32
+        master copy — bf16 Adam moments are a known-divergence footgun)."""
+        cfg = self.config
+        if cfg.lora_rank > 0:
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            trainable = init_lora(params["unet"], cfg.lora_rank, key, cfg.lora_targets)
+        else:
+            trainable = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params["unet"])
+        ema = jax.tree.map(jnp.copy, trainable) if cfg.ema_decay else None
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            trainable=trainable,
+            opt_state=self._tx.init(trainable),
+            ema=ema,
+        )
+
+    # ----------------------------------------------------------- step
+    def _build_step(self):
+        cfg = self.config
+        unet = self.engine.unet
+        T = len(self.schedule.alphas_cumprod)
+        ac = jnp.asarray(self.schedule.alphas_cumprod, jnp.float32)  # [T]
+        snr_table = ac / (1.0 - ac)  # signal-to-noise per timestep
+
+        def effective_unet_params(frozen_unet, trainable):
+            if cfg.lora_rank > 0:
+                return apply_lora(frozen_unet, trainable, scale=cfg.lora_scale)
+            return trainable
+
+        def train_step(state: TrainState, frozen_unet, latents, context, key):
+            """latents [B,h,w,4] (VAE-scaled), context [B,T,C], key PRNG."""
+            B = latents.shape[0]
+            k_t, k_noise = jax.random.split(jax.random.fold_in(key, state.step))
+            t = jax.random.randint(k_t, (B,), 0, T)
+            noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+            a = ac[t][:, None, None, None]
+            sqrt_a, sqrt_1ma = jnp.sqrt(a), jnp.sqrt(1.0 - a)
+            noisy = sqrt_a * latents + sqrt_1ma * noise
+            if cfg.prediction_type == "v_prediction":
+                target = sqrt_a * noise - sqrt_1ma * latents
+            else:
+                target = noise
+
+            if cfg.snr_gamma is not None:
+                snr = snr_table[t]
+                w = jnp.minimum(snr, cfg.snr_gamma)
+                # min-SNR-gamma (Hang et al. 2023): epsilon loss divides by
+                # SNR; v loss by SNR+1.
+                w = w / (snr + 1.0) if cfg.prediction_type == "v_prediction" else w / snr
+            else:
+                w = jnp.ones((B,), jnp.float32)
+
+            def loss_fn(trainable):
+                p = effective_unet_params(frozen_unet, trainable)
+                pred = unet.apply(
+                    {"params": p}, noisy.astype(unet.dtype), t.astype(jnp.float32),
+                    context.astype(unet.dtype),
+                ).astype(jnp.float32)
+                per = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
+                return jnp.mean(w * per)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = self._tx.update(grads, state.opt_state, state.trainable)
+            trainable = optax.apply_updates(state.trainable, updates)
+            ema = state.ema
+            if cfg.ema_decay:
+                d = jnp.asarray(cfg.ema_decay, jnp.float32)
+                ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p, ema, trainable)
+            new_state = TrainState(
+                step=state.step + 1, trainable=trainable, opt_state=opt_state, ema=ema
+            )
+            return new_state, {"loss": loss, "grad_norm": gnorm}
+
+        return jax.jit(train_step)
+
+    @property
+    def step_fn(self):
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        return self._step_fn
+
+    def train_step(self, state: TrainState, params: Dict[str, Any], latents, context, key):
+        """One optimization step. ``params['unet']`` is the frozen base in
+        LoRA mode (unused in full mode — the trainable tree IS the UNet)."""
+        frozen = params["unet"] if self.config.lora_rank > 0 else None
+        return self.step_fn(state, frozen, latents, context, key)
+
+    # ----------------------------------------------------------- export
+    def unet_params(self, state: TrainState, params: Dict[str, Any], use_ema: bool = False):
+        """Effective UNet tree for sampling (EMA shadow if kept)."""
+        tree = state.ema if (use_ema and state.ema is not None) else state.trainable
+        if self.config.lora_rank > 0:
+            return apply_lora(params["unet"], tree, scale=self.config.lora_scale)
+        return jax.tree.map(lambda x: x.astype(self.engine.unet.dtype), tree)
