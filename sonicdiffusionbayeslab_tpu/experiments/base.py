@@ -70,6 +70,13 @@ class BaseMethod:
             self.model.scheduler = self.build_scheduler(scfg.scheduler_name)
 
     def build_scheduler(self, name: str, **kw):
+        # Model-family prediction target (SD-2.x 768-v checkpoints are
+        # v_prediction) flows from experiment_params to every scheduler
+        # unless the method set it explicitly.
+        if "prediction_type" not in kw:
+            pt = self.params.get("prediction_type")
+            if pt:
+                kw["prediction_type"] = str(pt)
         schedulers_registry.validate_kwargs(name, kw, allow_missing=True)
         return schedulers_registry[name](**kw)
 

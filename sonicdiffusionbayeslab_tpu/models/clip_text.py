@@ -39,6 +39,20 @@ class CLIPTextConfig:
         return cls()
 
     @classmethod
+    def sd21(cls) -> "CLIPTextConfig":
+        """SD-2.1 text tower: OpenCLIP ViT-H trimmed to 23 layers
+        (stable-diffusion-2-1 text_encoder/config.json) — the 'penultimate
+        layer' convention is baked into the shipped checkpoint, so the
+        final hidden state is what conditions the UNet."""
+        return cls(hidden_size=1024, num_layers=23, num_heads=16,
+                   intermediate_size=4096, hidden_act="gelu")
+
+    @classmethod
+    def tiny21(cls) -> "CLIPTextConfig":
+        return cls(vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+                   intermediate_size=64, hidden_act="gelu")
+
+    @classmethod
     def sdxl_g(cls) -> "CLIPTextConfig":
         """SDXL's second tower: OpenCLIP ViT-bigG text model
         (stable-diffusion-xl-base-1.0 text_encoder_2/config.json)."""

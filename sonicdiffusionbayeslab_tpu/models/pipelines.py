@@ -38,11 +38,13 @@ class StableDiffusionModel:
         dtype: str = "bfloat16",
         seed: int = 0,
         lora: str = None,  # consumed by ConsistencyModelMethod.setup_model
+        variant: str = "auto",  # sd15 | sd21 | auto (snapshot/name detection)
     ):
         self.lora = lora
         self.pretrained_model = pretrained_model
         self.image_size = int(image_size)
         self.tiny = bool(tiny)
+        self.variant = self._resolve_variant(variant, pretrained_model)
         dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self.engine = self._make_engine(dt, tiny)
         self.latent_hw = self.image_size // 8 if not tiny else 8
@@ -60,10 +62,39 @@ class StableDiffusionModel:
         self._embed_cache: Dict[str, np.ndarray] = {}
         self._post_init()
 
+    @staticmethod
+    def _resolve_variant(variant: str, pretrained_model: str) -> str:
+        """sd15 vs sd21 (SD-2.x: OpenCLIP ViT-H context 1024, 64-wide heads,
+        linear transformer projections — beyond-reference model family).
+        'auto' reads a local snapshot's unet/config.json when present, else
+        falls back to hub-id naming."""
+        if variant != "auto":
+            if variant not in ("sd15", "sd21"):
+                raise ValueError(f"unknown variant {variant!r} (sd15|sd21|auto)")
+            return variant
+        cfg_path = Path(pretrained_model) / "unet" / "config.json"
+        if cfg_path.exists():
+            import json
+
+            c = json.loads(cfg_path.read_text())
+            return "sd21" if int(c.get("cross_attention_dim", 768)) == 1024 else "sd15"
+        name = pretrained_model.lower()
+        return "sd21" if ("stable-diffusion-2" in name or "sd2" in name) else "sd15"
+
     def _make_engine(self, dt, tiny: bool) -> StableDiffusionEngine:
         if tiny:
+            if self.variant == "sd21":
+                return StableDiffusionEngine(
+                    UNetConfig.tiny21(), VAEConfig.tiny(), CLIPTextConfig.tiny21(),
+                    dtype=dt, param_dtype=dt,
+                )
             return StableDiffusionEngine(
                 UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny(),
+                dtype=dt, param_dtype=dt,
+            )
+        if self.variant == "sd21":
+            return StableDiffusionEngine(
+                UNetConfig.sd21(), VAEConfig.sd15(), CLIPTextConfig.sd21(),
                 dtype=dt, param_dtype=dt,
             )
         return StableDiffusionEngine(dtype=dt, param_dtype=dt)
@@ -348,3 +379,68 @@ class StableDiffusionModelSkipTimesteps(StableDiffusionModel):
         if not skip_timesteps:
             return self.scheduler.build_plan(num_inference_steps)
         return plan_composers.skip_plan(self.scheduler, num_inference_steps, skip_timesteps)
+
+
+@models_registry.add_to_registry("stable_diffusion_controlnet_model")
+class StableDiffusionControlNetModel(StableDiffusionModel):
+    """ControlNet-conditioned text->image pipeline (beyond-reference model
+    family; models/controlnet.py).  Same engine, schedulers and metric
+    protocol — the per-step delta is the ControlNet encoder copy whose
+    zero-conv residuals the UNet injects at its skip states.
+    """
+
+    def __init__(
+        self,
+        pretrained_model: str = "runwayml/stable-diffusion-v1-5",
+        image_size: int = 512,
+        tiny: bool = False,
+        dtype: str = "bfloat16",
+        seed: int = 0,
+        lora: str = None,
+        variant: str = "auto",
+        controlnet: str = None,  # local diffusers ControlNet snapshot dir
+        controlnet_scale: float = 1.0,
+    ):
+        self.controlnet_path = controlnet
+        self.controlnet_scale = float(controlnet_scale)
+        super().__init__(pretrained_model=pretrained_model, image_size=image_size,
+                         tiny=tiny, dtype=dtype, seed=seed, lora=lora, variant=variant)
+
+    def _post_init(self) -> None:
+        if self.controlnet_path and Path(self.controlnet_path).exists():
+            from sonicdiffusionbayeslab_tpu.models.weights import load_controlnet_checkpoint
+
+            self.controlnet_params = load_controlnet_checkpoint(
+                self.controlnet_path, self.engine
+            )
+        else:
+            # No local snapshot (offline env): random encoder + zero-init
+            # heads — an exact no-op over the base UNet until trained.
+            self.controlnet_params = self.engine.init_controlnet_params(
+                seed=0, latent_hw=self.latent_hw
+            )
+        self._control_call: Optional[Dict[str, Any]] = None
+
+    def __call__(self, prompt, *args, control_image=None, controlnet_scale=None, **kw):
+        """``control_image``: [B, H, W, 3] in [0,1] at pixel resolution
+        (resized here if needed)."""
+        if control_image is None:
+            raise ValueError("stable_diffusion_controlnet_model requires control_image")
+        img = jnp.asarray(control_image, jnp.float32)
+        want_hw = (self.latent_hw * 8, self.latent_hw * 8)
+        if img.shape[1:3] != want_hw:
+            img = jax.image.resize(
+                img, (img.shape[0],) + want_hw + (img.shape[-1],), "bilinear"
+            )
+        self._control_call = {
+            "params": self.controlnet_params,
+            "image": img,
+            "scale": self.controlnet_scale if controlnet_scale is None else float(controlnet_scale),
+        }
+        try:
+            return super().__call__(prompt, *args, **kw)
+        finally:
+            self._control_call = None
+
+    def _extra_sample_kwargs(self, batch: int) -> Dict[str, Any]:
+        return {"control": self._control_call}

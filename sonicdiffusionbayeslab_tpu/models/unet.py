@@ -62,6 +62,17 @@ class UNetConfig:
     # SDXL text_time additional conditioning (None = SD-1.5: absent).
     addition_time_embed_dim: Optional[int] = None
     projection_class_embeddings_input_dim: Optional[int] = None
+    # diffusers use_linear_projection (SD-2.x / SDXL transformer proj_in/out
+    # are nn.Linear, SD-1.5's are 1x1 convs). The compute is identical in
+    # NHWC; the flag only drives the weight converter's source layout.
+    # None = infer from addition_time_embed_dim (SDXL).
+    use_linear_projection: Optional[bool] = None
+
+    @property
+    def linear_projection(self) -> bool:
+        if self.use_linear_projection is not None:
+            return bool(self.use_linear_projection)
+        return self.addition_time_embed_dim is not None
 
     def depth_at(self, lvl: int) -> int:
         d = self.transformer_depth
@@ -85,6 +96,29 @@ class UNetConfig:
     @classmethod
     def sd15(cls) -> "UNetConfig":
         return cls()
+
+    @classmethod
+    def sd21(cls) -> "UNetConfig":
+        """stabilityai/stable-diffusion-2-1 unet/config.json: SD-1.5 topology
+        with 64-wide heads per level (attention_head_dim=[5,10,20,20]),
+        OpenCLIP ViT-H context (1024) and linear transformer projections."""
+        return cls(
+            num_attention_heads=(5, 10, 20, 20),
+            cross_attention_dim=1024,
+            use_linear_projection=True,
+        )
+
+    @classmethod
+    def tiny21(cls) -> "UNetConfig":
+        """2-level SD-2.x-shaped UNet (linear proj, no added cond)."""
+        return cls(
+            block_out_channels=(32, 64),
+            layers_per_block=1,
+            cross_attention=(True, False),
+            num_attention_heads=(2, 4),
+            cross_attention_dim=32,
+            use_linear_projection=True,
+        )
 
     @classmethod
     def sdxl(cls) -> "UNetConfig":
@@ -130,6 +164,9 @@ class UNet2DCondition(nn.Module):
         cache: Optional[jax.Array] = None,  # deep-feature injection (DeepCache)
         return_cache: bool = False,  # also return the deep trunk's features
         cache_branch_id: int = 0,  # static: depth of the shallow/trunk split
+        # ControlNet residuals: (down: tuple aligned with the skip states,
+        # mid: array added after the mid block) — models/controlnet.py.
+        control_residuals: Optional[Tuple] = None,
     ):
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -195,6 +232,10 @@ class UNet2DCondition(nn.Module):
         branch = int(cache_branch_id)
         if not 0 <= branch < n_levels:
             raise ValueError(f"cache_branch_id {branch} out of range [0, {n_levels})")
+        if control_residuals is not None and not deep:
+            # A cached step skips the deep levels whose skips the control
+            # residuals align with; the combination is ill-defined.
+            raise ValueError("control_residuals cannot be combined with a DeepCache step")
 
         # ---- down stack; skips collected for the up stack ------------------
         skips = [h]
@@ -212,12 +253,26 @@ class UNet2DCondition(nn.Module):
                 h = Downsample(ch, name=f"down_{lvl}_downsample", **kw)(h)
                 skips.append(h)
 
+        if control_residuals is not None:
+            # ControlNet injection (diffusers UNet's
+            # down_block_additional_residuals / mid_block_additional_residual):
+            # each saved skip state gets its residual; the mid one lands
+            # after the mid block below.
+            down_r, mid_r = control_residuals
+            if len(down_r) != len(skips):
+                raise ValueError(
+                    f"{len(down_r)} control residuals != {len(skips)} skip states"
+                )
+            skips = [s + r.astype(s.dtype) for s, r in zip(skips, down_r)]
+
         if deep:
             # ---- mid -----------------------------------------------------
             mid_ch = cfg.block_out_channels[-1]
             h = res(mid_ch, "mid_res_0")(h, t_emb)
             h = xfmr(mid_ch, "mid_attn", n_levels - 1)(h, ctx)
             h = res(mid_ch, "mid_res_1")(h, t_emb)
+            if control_residuals is not None:
+                h = h + mid_r.astype(h.dtype)
 
             # ---- up stack through the deep levels ------------------------
             for lvl in reversed(range(branch + 1, n_levels)):

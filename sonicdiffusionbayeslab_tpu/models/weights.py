@@ -134,9 +134,9 @@ def unet_name_map(cfg: UNetConfig) -> Dict[str, Tuple[str, Transform, Transform]
     if cfg.addition_time_embed_dim is not None:  # SDXL text_time conditioning
         dense("add_embedding/fc1", "add_embedding.linear_1")
         dense("add_embedding/fc2", "add_embedding.linear_2")
-    # SDXL uses linear transformer projections; presence of per-level depth
-    # or text_time conditioning marks the SDXL family.
-    linear_proj = cfg.addition_time_embed_dim is not None
+    # SD-2.x and SDXL use linear transformer projections (diffusers
+    # use_linear_projection); SD-1.5's proj_in/out are 1x1 convs.
+    linear_proj = cfg.linear_projection
 
     n = len(cfg.block_out_channels)
     for lvl in range(n):
@@ -169,6 +169,64 @@ def unet_name_map(cfg: UNetConfig) -> Dict[str, Tuple[str, Transform, Transform]
     norm("conv_norm_out", "conv_norm_out")
     conv("conv_out", "conv_out")
     return m
+
+
+# ------------------------------------------------------------ ControlNet map
+def controlnet_name_map(cfg: UNetConfig) -> Dict[str, Tuple[str, Transform, Transform]]:
+    """diffusers ``ControlNetModel`` state dict -> models/controlnet.py tree.
+
+    The encoder copy (conv_in / time_embedding / down_* / mid_*) shares the
+    UNet's module names on both sides, so its entries come straight from
+    ``unet_name_map``; the ControlNet-only parts are the conditioning
+    embedding and the zero-conv heads."""
+    base = unet_name_map(cfg)
+    m: Dict[str, Tuple[str, Transform, Transform]] = {}
+    for k, v in base.items():
+        top = k.split("/")[0]
+        if (
+            top in ("conv_in", "time_embedding", "add_embedding")
+            or top.startswith("down_")
+            or top.startswith("mid_")
+        ):
+            m[k] = v
+
+    def conv(dst, src):
+        m[f"{dst}/kernel"] = (f"{src}.weight", _conv, _conv_inv)
+        m[f"{dst}/bias"] = (f"{src}.bias", _id, _id)
+
+    conv("cond_embedding/conv_in", "controlnet_cond_embedding.conv_in")
+    from sonicdiffusionbayeslab_tpu.models.controlnet import COND_EMBED_CHANNELS
+
+    for j in range(2 * (len(COND_EMBED_CHANNELS) - 1)):
+        conv(f"cond_embedding/blocks_{j}", f"controlnet_cond_embedding.blocks.{j}")
+    conv("cond_embedding/conv_out", "controlnet_cond_embedding.conv_out")
+
+    n = len(cfg.block_out_channels)
+    n_skips = 1 + sum(
+        cfg.layers_per_block + (1 if lvl < n - 1 else 0) for lvl in range(n)
+    )
+    for i in range(n_skips):
+        conv(f"control_out_{i}", f"controlnet_down_blocks.{i}")
+    conv("control_mid", "controlnet_mid_block")
+    return m
+
+
+def load_controlnet_checkpoint(snapshot_dir: str | Path, engine, dtype=np.float32) -> dict:
+    """diffusers ControlNet snapshot dir (or the dir holding its
+    ``diffusion_pytorch_model.bin``) -> ControlNet param tree, validated
+    against the engine's random-init tree."""
+    snapshot_dir = Path(snapshot_dir)
+    ref = engine.init_controlnet_params(seed=0)
+    sd = None
+    for name in ("diffusion_pytorch_model.bin", "pytorch_model.bin",
+                 "diffusion_pytorch_model.safetensors", "model.safetensors"):
+        if (snapshot_dir / name).exists():
+            sd = load_torch_state_dict(snapshot_dir / name)
+            break
+    if sd is None:
+        raise FileNotFoundError(f"no checkpoint under {snapshot_dir}")
+    return convert(sd, controlnet_name_map(engine.unet_config),
+                   flatten(ref).keys(), dtype)
 
 
 # ----------------------------------------------------------------- VAE map
