@@ -1,4 +1,5 @@
 from sonicdiffusionbayeslab_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel  # noqa: F401
+from sonicdiffusionbayeslab_tpu.models.controlnet import ControlNet  # noqa: F401
 from sonicdiffusionbayeslab_tpu.models.sampler import (  # noqa: F401
     CachePlan,
     SampleOutput,

@@ -106,6 +106,11 @@ class StableDiffusionEngine:
         self.unet = UNet2DCondition(self.unet_config, dtype=dtype, param_dtype=param_dtype)
         self.vae = AutoencoderKL(self.vae_config, dtype=dtype, param_dtype=param_dtype)
         self.text = CLIPTextModel(self.text_config, dtype=dtype, param_dtype=param_dtype)
+        # ControlNet module definition (params live outside init_params —
+        # see init_controlnet_params; only the controlnet pipeline pays).
+        from sonicdiffusionbayeslab_tpu.models.controlnet import ControlNet
+
+        self.controlnet = ControlNet(self.unet_config, dtype=dtype, param_dtype=param_dtype)
 
     # ------------------------------------------------------------- params
     def init_params(self, seed: int = 0, latent_hw: int = 64) -> Dict[str, Any]:
@@ -125,6 +130,15 @@ class StableDiffusionEngine:
             "vae": self.vae.init(k2, lat, method=self.vae.init_all)["params"],
             "text": self.text.init(k3, ids)["params"],
         }
+
+    def init_controlnet_params(self, seed: int = 0, latent_hw: int = 64) -> Dict[str, Any]:
+        """Random-init ControlNet tree (zero convs start at exact no-op)."""
+        lat = jnp.zeros((1, latent_hw, latent_hw, self.unet_config.in_channels))
+        ctx = jnp.zeros((1, self.text_config.max_length, self.unet_config.cross_attention_dim))
+        cond = jnp.zeros((1, latent_hw * 8, latent_hw * 8, 3))
+        return self.controlnet.init(
+            jax.random.PRNGKey(seed ^ 0xC0), lat, jnp.zeros((1,)), ctx, cond
+        )["params"]
 
     # ------------------------------------------------------------- encode
     @functools.cached_property
@@ -178,12 +192,15 @@ class StableDiffusionEngine:
         use_blend: bool = False,
         x0_count: int = 1,
         has_added: bool = False,  # SDXL text_time conditioning present
+        use_control: bool = False,  # ControlNet residual injection
     ):
         unet = self.unet
+        controlnet = self.controlnet
 
         def denoise(unet_params, latents0, embeds, plan_xs, guidance, rescale, key,
                     blend_mask=None, blend_source=None, blend_noise=None,
-                    added_text=None, added_ids=None):
+                    added_text=None, added_ids=None,
+                    control_params=None, control_hint=None, control_scale=None):
             """latents0 [B,h,w,4] fp32; embeds [2B or B, T, C]; plan_xs dict of [L,...].
 
             Inpainting (use_blend): after each scheduler step the kept
@@ -221,6 +238,18 @@ class StableDiffusionEngine:
                     noise_pred, new_cache = jax.lax.cond(
                         xs["cache_full"] > 0, full, cached, carry["cache"]
                     )
+                elif use_control:
+                    # ControlNet rides every step: encoder copy + zero convs
+                    # produce the residuals the UNet injects at its skips.
+                    residuals = controlnet.apply(
+                        {"params": control_params}, lat_in, tb, embeds,
+                        control_hint, control_scale,
+                    )
+                    noise_pred = unet.apply(
+                        {"params": unet_params}, lat_in, tb, embeds, added,
+                        control_residuals=residuals,
+                    )
+                    new_cache = None
                 else:
                     noise_pred = unet.apply({"params": unet_params}, lat_in, tb, embeds, added)
                     new_cache = None
@@ -298,6 +327,9 @@ class StableDiffusionEngine:
         # SDXL text_time conditioning: {"text_embeds" [B,P] (positive pooled),
         # "negative_text_embeds" [B,P] (CFG), "time_ids" [B,K]}.
         added_cond: Optional[Dict[str, jax.Array]] = None,
+        # ControlNet: {"params": tree, "image": [B, 8h, 8w, 3] in [0,1],
+        # "scale": float (conditioning_scale, default 1.0)}.
+        control: Optional[Dict[str, Any]] = None,
     ) -> SampleOutput:
         """Generate images for one batch. Returns reference-contract output:
         (images, execution_time of the denoise loop only, optional x0 decodes)
@@ -357,6 +389,22 @@ class StableDiffusionEngine:
                 ),
             )
 
+        control_args = {}
+        if control is not None:
+            if use_cache:
+                raise ValueError("ControlNet cannot be combined with DeepCache")
+            hint = jnp.asarray(control["image"], jnp.float32)
+            want = (B, latent_hw[0] * 8, latent_hw[1] * 8, 3)
+            if hint.shape != want:
+                raise ValueError(f"control image {hint.shape} != {want}")
+            if do_cfg:
+                hint = jnp.concatenate([hint, hint])
+            control_args = dict(
+                control_params=control["params"],
+                control_hint=hint,
+                control_scale=jnp.float32(control.get("scale", 1.0)),
+            )
+
         added_args = {}
         if added_cond is not None:
             pos = jnp.asarray(added_cond["text_embeds"])
@@ -383,6 +431,7 @@ class StableDiffusionEngine:
             blend is not None,
             B if x0_samples is None else max(1, min(int(x0_samples), B)),
             added_cond is not None,
+            control is not None,
         )
 
         step_key = jax.random.fold_in(key, 0x5EED)
@@ -398,6 +447,7 @@ class StableDiffusionEngine:
             step_key,
             **blend_args,
             **added_args,
+            **control_args,
         )
         latents = jax.block_until_ready(latents)
         # On async remote backends (axon tunnel) block_until_ready can return
