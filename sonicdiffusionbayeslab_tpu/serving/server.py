@@ -1,0 +1,151 @@
+"""Dependency-free HTTP front end for the micro-batching server.
+
+    sdbl-serve --config configs/dpm_solver_config.yaml --port 8000
+
+Endpoints:
+  GET  /healthz  -> {"ok": true, "devices": N, "model": "..."}
+  GET  /metrics  -> batcher counters (requests, images, batches, latency)
+  POST /generate -> {"prompt": "...", "steps": 20, "guidance": 7.5,
+                     "negative_prompt": "", "seed": null}
+                 -> {"image_png_base64": "...", "execution_time": s,
+                     "batch_size": n, "nfe": k}
+
+One process, one device mesh, stdlib http.server (ThreadingHTTPServer) —
+the threads only marshal JSON; all compute funnels through the batcher's
+single worker so requests coalesce into full device batches.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from sonicdiffusionbayeslab_tpu.serving.batcher import GenerateRequest, InferenceServer
+
+
+def _png_b64(image: np.ndarray) -> str:
+    from sonicdiffusionbayeslab_tpu.utils.images import to_pil_image
+
+    buf = io.BytesIO()
+    to_pil_image(image).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def make_handler(server: InferenceServer, model_name: str):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                self._send(200, {"ok": True, "devices": len(jax.devices()),
+                                 "model": model_name})
+            elif self.path == "/metrics":
+                s = dict(server.stats)
+                s["mean_batch_seconds"] = (
+                    s["batch_seconds"] / s["batches"] if s["batches"] else 0.0
+                )
+                self._send(200, s)
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                g = GenerateRequest(
+                    prompt=str(req["prompt"]),
+                    num_inference_steps=int(req.get("steps", 20)),
+                    guidance_scale=float(req.get("guidance", 7.5)),
+                    negative_prompt=str(req.get("negative_prompt", "")),
+                    seed=req.get("seed"),
+                )
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._send(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                out = server.generate(g, timeout=600)
+            except Exception as e:  # surfaced engine errors
+                self._send(500, {"error": str(e)})
+                return
+            self._send(200, {
+                "image_png_base64": _png_b64(out["image"]),
+                "execution_time": out["execution_time"],
+                "batch_size": out["batch_size"],
+                "nfe": out["nfe"],
+            })
+
+    return Handler
+
+
+def serve(pipe, model_name: str, host: str = "127.0.0.1", port: int = 8000,
+          max_batch: int = 8, max_wait_ms: float = 25.0,
+          ready_event: Optional[threading.Event] = None):
+    """Blocking serve loop; returns (httpd, inference_server) via the
+    ready_event hook for tests."""
+    inference = InferenceServer(pipe, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    httpd = ThreadingHTTPServer((host, port), make_handler(inference, model_name))
+    if ready_event is not None:
+        ready_event.httpd = httpd  # type: ignore[attr-defined]
+        ready_event.inference = inference  # type: ignore[attr-defined]
+        ready_event.set()
+    try:
+        httpd.serve_forever()
+    finally:
+        inference.shutdown(wait=False)
+
+
+def main() -> None:
+    import argparse
+
+    from sonicdiffusionbayeslab_tpu.config import load_config
+    from sonicdiffusionbayeslab_tpu.registry import (
+        load_all_plugins,
+        models_registry,
+        schedulers_registry,
+    )
+    from sonicdiffusionbayeslab_tpu.utils.compilation_cache import enable as enable_cache
+
+    parser = argparse.ArgumentParser(description="SonicDiffusionBayesLab-TPU server")
+    parser.add_argument("--config", required=True,
+                        help="experiment YAML: model + scheduler sections are used")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--max_wait_ms", type=float, default=25.0)
+    args = parser.parse_args()
+
+    enable_cache()
+    load_all_plugins()
+    cfg = load_config(args.config)
+    mcfg = dict(cfg.model)
+    name = mcfg.pop("model_name")
+    mcfg.setdefault("image_size", cfg.dataset.get("image_size", 512))
+    pipe = models_registry[name](**mcfg)
+    sname = cfg.get("scheduler", {}).get("scheduler_name", "dpm_solver_scheduler")
+    pipe.scheduler = schedulers_registry[sname]()
+    print(f"serving {name} ({sname}) on http://{args.host}:{args.port}")
+    serve(pipe, name, args.host, args.port, args.max_batch, args.max_wait_ms)
+
+
+if __name__ == "__main__":
+    main()
