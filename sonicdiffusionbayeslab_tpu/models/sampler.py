@@ -301,6 +301,13 @@ class StableDiffusionEngine:
             saved = jnp.zeros_like(lat) if has_saved else None
             return SchedulerCarry(lat, hist, saved)
 
+        import os
+
+        if os.environ.get("SDBL_DONATE"):
+            # Perf experiment (VERDICT r1 item 6c): donate the initial
+            # latents so XLA may alias them into the scan carry. Measured on
+            # hardware in docs/PERF.md.
+            return jax.jit(denoise, donate_argnums=(1,))
         return jax.jit(denoise)
 
     # ------------------------------------------------------------- sample
