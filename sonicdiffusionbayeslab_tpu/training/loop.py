@@ -91,11 +91,20 @@ def run_training(config) -> Dict[str, Any]:
             latents = engine.encode_image_fn(params["vae"], images, enc_key)
             ids = pipe.tokenizer(list(batch["prompt"]))
             context = engine.encode_prompts(params, ids)
+            hint = None
+            if trainer.target == "controlnet":
+                # Identity conditioning: the raw image is the hint. Real
+                # control maps (canny/depth/pose) are precomputed offline
+                # into the image dir of a dedicated dataset.
+                hint = images
             if mesh is not None:
                 from sonicdiffusionbayeslab_tpu.parallel import shard_batch
 
                 latents, context = shard_batch(mesh, latents, context)
-            state, metrics = trainer.train_step(state, params, latents, context, key)
+                if hint is not None:
+                    hint = shard_batch(mesh, hint)
+            state, metrics = trainer.train_step(state, params, latents, context, key,
+                                                hint=hint)
             step += 1
             if step % log_every == 0 or step == num_steps:
                 loss = float(metrics["loss"])
@@ -115,7 +124,9 @@ def _save(trainer, state, params, engine, save_dir: Path, step: int, final: bool
 
     tag = "final" if final else f"step_{step}"
     out = save_dir / tag
-    if trainer.config.lora_rank > 0:
+    if trainer.target == "controlnet":
+        save_params({"controlnet": trainer.controlnet_params(state)}, out)
+    elif trainer.config.lora_rank > 0:
         # Export the adapters in the peft layout merge_lora consumes.
         from sonicdiffusionbayeslab_tpu.models.weights import unet_name_map
         from sonicdiffusionbayeslab_tpu.training.lora import lora_to_peft_state_dict

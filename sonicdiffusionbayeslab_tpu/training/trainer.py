@@ -46,6 +46,11 @@ class TrainConfig:
     lora_rank: int = 0
     lora_targets: str = DEFAULT_TARGETS
     lora_scale: float = 1.0
+    # What to optimize: unet (full fine-tune) | lora (implied by
+    # lora_rank > 0) | controlnet (encoder copy + zero convs; UNet frozen,
+    # batch must carry a control hint image).
+    train_target: str = "unet"
+    controlnet_scale: float = 1.0
 
 
 @jax.tree_util.register_dataclass
@@ -71,6 +76,14 @@ class DiffusionTrainer:
         self.schedule = NoiseSchedule.create(schedule_config or ScheduleConfig())
         if config.prediction_type not in ("epsilon", "v_prediction"):
             raise ValueError(f"unknown prediction_type {config.prediction_type!r}")
+        if config.train_target not in ("unet", "lora", "controlnet"):
+            raise ValueError(f"unknown train_target {config.train_target!r}")
+        self.target = (
+            "lora" if (config.lora_rank > 0 and config.train_target == "unet")
+            else config.train_target
+        )
+        if self.target == "lora" and config.lora_rank <= 0:
+            raise ValueError("train_target='lora' requires lora_rank > 0")
         self._tx = self._make_optimizer()
         self._step_fn = None
 
@@ -93,15 +106,26 @@ class DiffusionTrainer:
         return optax.chain(*chain)
 
     # ----------------------------------------------------------- state
-    def init_state(self, params: Dict[str, Any], key: Optional[jax.Array] = None) -> TrainState:
-        """LoRA mode (lora_rank > 0): trainable = fresh adapters over the
-        frozen UNet.  Full mode: trainable = the UNet tree itself (a float32
-        master copy — bf16 Adam moments are a known-divergence footgun)."""
+    def init_state(
+        self,
+        params: Dict[str, Any],
+        key: Optional[jax.Array] = None,
+        controlnet_params: Optional[dict] = None,
+    ) -> TrainState:
+        """LoRA mode: trainable = fresh adapters over the frozen UNet.
+        ControlNet mode: trainable = the encoder-copy tree (pass
+        ``controlnet_params`` to resume/warm-start; default = fresh init
+        whose zero convs make step 0 a no-op).  Full mode: trainable = the
+        UNet tree itself (a float32 master copy — bf16 Adam moments are a
+        known-divergence footgun)."""
         cfg = self.config
-        if cfg.lora_rank > 0:
+        if self.target == "lora":
             if key is None:
                 key = jax.random.PRNGKey(0)
             trainable = init_lora(params["unet"], cfg.lora_rank, key, cfg.lora_targets)
+        elif self.target == "controlnet":
+            src = controlnet_params or self.engine.init_controlnet_params(seed=0)
+            trainable = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), src)
         else:
             trainable = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params["unet"])
         ema = jax.tree.map(jnp.copy, trainable) if cfg.ema_decay else None
@@ -115,18 +139,21 @@ class DiffusionTrainer:
     # ----------------------------------------------------------- step
     def _build_step(self):
         cfg = self.config
+        target = self.target
         unet = self.engine.unet
+        controlnet = self.engine.controlnet
         T = len(self.schedule.alphas_cumprod)
         ac = jnp.asarray(self.schedule.alphas_cumprod, jnp.float32)  # [T]
         snr_table = ac / (1.0 - ac)  # signal-to-noise per timestep
 
         def effective_unet_params(frozen_unet, trainable):
-            if cfg.lora_rank > 0:
+            if target == "lora":
                 return apply_lora(frozen_unet, trainable, scale=cfg.lora_scale)
             return trainable
 
-        def train_step(state: TrainState, frozen_unet, latents, context, key):
-            """latents [B,h,w,4] (VAE-scaled), context [B,T,C], key PRNG."""
+        def train_step(state: TrainState, frozen_unet, latents, context, key, hint=None):
+            """latents [B,h,w,4] (VAE-scaled), context [B,T,C], key PRNG;
+            hint [B,8h,8w,3] control image (controlnet target only)."""
             B = latents.shape[0]
             k_t, k_noise = jax.random.split(jax.random.fold_in(key, state.step))
             t = jax.random.randint(k_t, (B,), 0, T)
@@ -135,9 +162,9 @@ class DiffusionTrainer:
             sqrt_a, sqrt_1ma = jnp.sqrt(a), jnp.sqrt(1.0 - a)
             noisy = sqrt_a * latents + sqrt_1ma * noise
             if cfg.prediction_type == "v_prediction":
-                target = sqrt_a * noise - sqrt_1ma * latents
+                y = sqrt_a * noise - sqrt_1ma * latents
             else:
-                target = noise
+                y = noise
 
             if cfg.snr_gamma is not None:
                 snr = snr_table[t]
@@ -149,12 +176,22 @@ class DiffusionTrainer:
                 w = jnp.ones((B,), jnp.float32)
 
             def loss_fn(trainable):
-                p = effective_unet_params(frozen_unet, trainable)
-                pred = unet.apply(
-                    {"params": p}, noisy.astype(unet.dtype), t.astype(jnp.float32),
-                    context.astype(unet.dtype),
-                ).astype(jnp.float32)
-                per = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
+                x_in = noisy.astype(unet.dtype)
+                t_in = t.astype(jnp.float32)
+                c_in = context.astype(unet.dtype)
+                if target == "controlnet":
+                    residuals = controlnet.apply(
+                        {"params": trainable}, x_in, t_in, c_in, hint,
+                        cfg.controlnet_scale,
+                    )
+                    pred = unet.apply(
+                        {"params": frozen_unet}, x_in, t_in, c_in,
+                        control_residuals=residuals,
+                    ).astype(jnp.float32)
+                else:
+                    p = effective_unet_params(frozen_unet, trainable)
+                    pred = unet.apply({"params": p}, x_in, t_in, c_in).astype(jnp.float32)
+                per = jnp.mean((pred - y) ** 2, axis=(1, 2, 3))
                 return jnp.mean(w * per)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
@@ -178,16 +215,29 @@ class DiffusionTrainer:
             self._step_fn = self._build_step()
         return self._step_fn
 
-    def train_step(self, state: TrainState, params: Dict[str, Any], latents, context, key):
+    def train_step(self, state: TrainState, params: Dict[str, Any], latents, context, key,
+                   hint=None):
         """One optimization step. ``params['unet']`` is the frozen base in
-        LoRA mode (unused in full mode — the trainable tree IS the UNet)."""
-        frozen = params["unet"] if self.config.lora_rank > 0 else None
-        return self.step_fn(state, frozen, latents, context, key)
+        LoRA/ControlNet modes (unused in full mode — the trainable tree IS
+        the UNet); ``hint`` is the control image batch (controlnet target)."""
+        frozen = params["unet"] if self.target in ("lora", "controlnet") else None
+        if self.target == "controlnet" and hint is None:
+            raise ValueError("controlnet training needs a hint image batch")
+        return self.step_fn(state, frozen, latents, context, key, hint)
 
     # ----------------------------------------------------------- export
     def unet_params(self, state: TrainState, params: Dict[str, Any], use_ema: bool = False):
         """Effective UNet tree for sampling (EMA shadow if kept)."""
         tree = state.ema if (use_ema and state.ema is not None) else state.trainable
-        if self.config.lora_rank > 0:
+        if self.target == "lora":
             return apply_lora(params["unet"], tree, scale=self.config.lora_scale)
+        if self.target == "controlnet":
+            return params["unet"]  # frozen; the trained tree is the ControlNet
+        return jax.tree.map(lambda x: x.astype(self.engine.unet.dtype), tree)
+
+    def controlnet_params(self, state: TrainState, use_ema: bool = False):
+        """Trained ControlNet tree for engine.sample(control=...)."""
+        if self.target != "controlnet":
+            raise ValueError("trainer target is not 'controlnet'")
+        tree = state.ema if (use_ema and state.ema is not None) else state.trainable
         return jax.tree.map(lambda x: x.astype(self.engine.unet.dtype), tree)

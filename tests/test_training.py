@@ -184,6 +184,52 @@ def test_train_step_on_mesh_matches_single_device(engine, params, batch):
         )
 
 
+def test_controlnet_training(engine, params, batch):
+    """ControlNet target: UNet frozen, loss decreases, zero convs wake up,
+    and the trained tree drops into engine.sample(control=...)."""
+    lat, ctx = batch
+    hint = jax.random.uniform(jax.random.PRNGKey(5), (4, 64, 64, 3))
+    tr = DiffusionTrainer(
+        engine, TrainConfig(learning_rate=1e-3, train_target="controlnet")
+    )
+    st = tr.init_state(params)
+    zero0 = np.abs(np.asarray(W.flatten(st.trainable)["control_mid/kernel"])).max()
+    assert zero0 == 0.0
+    base_before = W.flatten(jax.tree.map(np.asarray, params["unet"]))
+    losses = []
+    for _ in range(8):
+        st, m = tr.train_step(st, params, lat, ctx, jax.random.PRNGKey(42), hint=hint)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    # Gradients reached the ControlNet (the encoder copy moved)...
+    moved = np.abs(
+        np.asarray(W.flatten(st.trainable)["conv_in/kernel"], np.float32)
+        - np.asarray(base_before["conv_in/kernel"], np.float32)
+    ).max()
+    assert moved > 0
+    # ...while the UNet stayed frozen.
+    for k, v in base_before.items():
+        np.testing.assert_array_equal(
+            v, np.asarray(W.flatten(params["unet"])[k]), err_msg=k
+        )
+    # Export drops into the sampler.
+    from sonicdiffusionbayeslab_tpu.models.tokenizer import HashTokenizer
+    from sonicdiffusionbayeslab_tpu.schedulers import DPMSolverScheduler
+
+    cn = tr.controlnet_params(st)
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    c = engine.encode_prompts(params, tok(["a cat"]))
+    out = engine.sample(
+        params, DPMSolverScheduler(solver_order=1).build_plan(2), c, None,
+        jax.random.PRNGKey(0), guidance_scale=0.0, latent_hw=(8, 8),
+        control={"params": cn, "image": hint[:1], "scale": 1.0},
+    )
+    assert bool(jnp.isfinite(out.images).all())
+
+    with pytest.raises(ValueError, match="hint"):
+        tr.train_step(st, params, lat, ctx, jax.random.PRNGKey(0))
+
+
 def test_run_training_from_config(tmp_path):
     """End-to-end config loop on a synthetic image+caption dataset."""
     import json
