@@ -15,6 +15,7 @@ from sonicdiffusionbayeslab_tpu.training.lora import (
     init_lora,
     lora_to_peft_state_dict,
 )
+from sonicdiffusionbayeslab_tpu.training.textual_inversion import TextualInversionTrainer
 from sonicdiffusionbayeslab_tpu.training.trainer import (
     DiffusionTrainer,
     TrainConfig,
@@ -23,6 +24,7 @@ from sonicdiffusionbayeslab_tpu.training.trainer import (
 
 __all__ = [
     "DiffusionTrainer",
+    "TextualInversionTrainer",
     "TrainConfig",
     "TrainState",
     "init_lora",

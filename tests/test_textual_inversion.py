@@ -1,0 +1,91 @@
+"""Textual inversion: only the placeholder embedding rows train; fixed-rng
+probe shows the loss landing lower; learned rows drop into encode_prompts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonicdiffusionbayeslab_tpu.models import (
+    CLIPTextConfig,
+    StableDiffusionEngine,
+    UNetConfig,
+    VAEConfig,
+)
+from sonicdiffusionbayeslab_tpu.training.textual_inversion import TextualInversionTrainer
+from sonicdiffusionbayeslab_tpu.training.trainer import TrainConfig, TrainState
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return StableDiffusionEngine(
+        UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny(),
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def params(engine):
+    return engine.init_params(seed=0, latent_hw=8)
+
+
+def _batch():
+    lat = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 4))
+    ids = np.full((4, 77), 5, np.int32)
+    ids[:, 3] = 997
+    ids[:, 4] = 998
+    return lat, ids
+
+
+def test_ti_trains_only_placeholder_rows(engine, params):
+    lat, ids = _batch()
+    tr = TextualInversionTrainer(
+        engine, placeholder_ids=[997, 998], config=TrainConfig(learning_rate=2e-2)
+    )
+    st0 = tr.init_state(params, init_ids=[10, 11])
+    # Coarse-class init: rows seeded from tokens 10/11.
+    table = np.asarray(params["text"]["token_embedding"]["embedding"])
+    np.testing.assert_array_equal(np.asarray(st0.trainable), table[[10, 11]])
+
+    key = jax.random.PRNGKey(42)
+    _, m0 = tr.train_step(st0, params, lat, ids, key)
+    st = st0
+    for _ in range(20):
+        st, m = tr.train_step(st, params, lat, ids, key)
+        assert float(m["grad_norm"]) > 0
+    # Per-step losses sample fresh (t, noise); compare at FIXED rng instead:
+    # a probe step re-uses step index 0's draw with the trained rows.
+    probe = TrainState(step=jnp.zeros((), jnp.int32), trainable=st.trainable,
+                       opt_state=st0.opt_state, ema=st0.ema)
+    _, m1 = tr.train_step(probe, params, lat, ids, key)
+    assert float(m1["loss"]) < float(m0["loss"])
+
+    # Exactly the placeholder rows changed in the exported text tree.
+    tp = tr.text_params(st, params)
+    tab1 = np.asarray(tp["token_embedding"]["embedding"])
+    diff_rows = np.where(np.abs(table - tab1).max(axis=1) > 0)[0]
+    assert set(diff_rows) == {997, 998}
+
+    # Exported tree drives the standard encode path.
+    ctx = engine.text.apply({"params": tp}, jnp.asarray(ids))["last_hidden_state"]
+    assert ctx.shape == (4, 77, 32) and bool(jnp.isfinite(ctx).all())
+
+
+def test_ti_save_embeddings_artifact(tmp_path, engine, params):
+    tr = TextualInversionTrainer(engine, placeholder_ids=[42],
+                                 config=TrainConfig(learning_rate=1e-3))
+    st = tr.init_state(params)
+    tr.save_embeddings(st, tmp_path / "concept.npz")
+    data = np.load(tmp_path / "concept.npz")
+    assert list(data["ids"]) == [42]
+    assert data["embeddings"].shape == (1, 32)
+
+
+def test_ti_validation(engine, params):
+    with pytest.raises(ValueError, match="placeholder"):
+        TextualInversionTrainer(engine, placeholder_ids=[])
+    with pytest.raises(ValueError, match="vocab"):
+        TextualInversionTrainer(engine, placeholder_ids=[10_000_000])
+    tr = TextualInversionTrainer(engine, placeholder_ids=[1, 2])
+    with pytest.raises(ValueError, match="init_ids"):
+        tr.init_state(params, init_ids=[5])
