@@ -91,6 +91,27 @@ class UniPCMethod(BaseMethod):
             }
 
 
+@methods_registry.add_to_registry("deis")
+class DEISMethod(BaseMethod):
+    """DEIS-logrho step sweep (beyond-reference sampler; schedulers/deis.py).
+    Same sweep shape as dpm_solver/unipc so the three are comparable."""
+
+    def setup_scheduler(self) -> None:
+        self.model.scheduler = self.build_scheduler(
+            self.config.scheduler.get("scheduler_name", "deis_scheduler"),
+            solver_order=int(self.params.get("solver_order", 2)),
+            final_sigmas_type=self.params.get("final_sigmas_type", "zero"),
+            use_karras_sigmas=bool(self.params.get("use_karras_sigmas", False)),
+        )
+
+    def grid(self) -> Iterable[dict]:
+        for steps in self.params.get("num_inference_steps", [20]):
+            yield {
+                "label": f"steps_{steps}",
+                "call_kw": {"num_inference_steps": int(steps), "use_x0": True},
+            }
+
+
 @methods_registry.add_to_registry("deep_cache")
 class DeepCacheMethod(BaseMethod):
     """DeepCache sweep: (cache_interval x steps) grid (reference

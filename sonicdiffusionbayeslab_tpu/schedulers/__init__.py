@@ -45,6 +45,7 @@ __all__ = [
     "SamplePlan",
     "StepRow",
     "DDIMScheduler",
+    "DEISScheduler",
     "DPMSolverScheduler",
     "LCMScheduler",
     "PNDMScheduler",
@@ -307,6 +308,94 @@ class DPMSolverScheduler(_PlanBuilder):
         positions = [first + k for k in range(len(executed))]
         unet_ts = [int(ts[i]) for i in executed]
         return dpm_rows(
+            self.schedule, ladder, positions, unet_timesteps=unet_ts, tag=tag, **self._kw()
+        )
+
+
+@schedulers_registry.add_to_registry("deis_scheduler")
+class DEISScheduler(_PlanBuilder):
+    """DEIS logrho multistep (beyond-reference; schedulers/deis.py)."""
+
+    NAME = "deis"
+
+    def __init__(
+        self,
+        schedule_config=None,
+        prediction_type=None,
+        solver_order: int = 2,
+        final_sigmas_type: str = "zero",
+        lower_order_final: bool = True,
+        euler_at_final: bool = False,
+        use_karras_sigmas: bool = False,
+    ):
+        super().__init__(schedule_config, prediction_type)
+        if solver_order not in (1, 2, 3):
+            raise ValueError(f"solver_order must be 1-3, got {solver_order}")
+        self.solver_order = int(solver_order)
+        self.final_sigmas_type = final_sigmas_type
+        self.lower_order_final = bool(lower_order_final)
+        self.euler_at_final = bool(euler_at_final)
+        self.use_karras_sigmas = bool(use_karras_sigmas)
+
+    def _kw(self):
+        return dict(
+            solver_order=self.solver_order,
+            final_sigmas_type=self.final_sigmas_type,
+            prediction_type=self.config.prediction_type,
+            lower_order_final=self.lower_order_final,
+            euler_at_final=self.euler_at_final,
+        )
+
+    def _ladder(self, num_steps: int):
+        if self.use_karras_sigmas:
+            return make_karras_ladder(self.schedule, num_steps, self.final_sigmas_type)
+        return make_ladder(self.schedule, self.timesteps(num_steps), self.final_sigmas_type)
+
+    def build_plan(self, num_steps: int) -> SamplePlan:
+        return self.tail_plan(num_steps, 0)
+
+    def tail_plan(self, num_steps: int, start_index: int) -> SamplePlan:
+        from sonicdiffusionbayeslab_tpu.schedulers.deis import deis_rows
+
+        ladder = self._ladder(num_steps)
+        rows = deis_rows(self.schedule, ladder, range(start_index, num_steps), **self._kw())
+        kar = "-karras" if self.use_karras_sigmas else ""
+        sfx = f"[{start_index}:]" if start_index else ""
+        return stack_rows(rows, name=f"deis{self.solver_order}{kar}(n={num_steps}){sfx}",
+                          hist_depth=self.solver_order)
+
+    def noised_latents(self, z, noise, num_steps: int, start_index: int):
+        ladder = self._ladder(num_steps)
+        a, st = float(ladder.alpha[start_index]), float(ladder.sigma_t[start_index])
+        return a * z + st * noise
+
+    def blend_schedule(self, num_steps: int, start_index: int = 0):
+        ladder = self._ladder(num_steps)
+        idx = np.arange(start_index + 1, num_steps + 1)
+        return (np.asarray(ladder.alpha[idx], np.float32),
+                np.asarray(ladder.sigma_t[idx], np.float32))
+
+    def transition_rows(self, ts, num_steps, executed, tag=""):
+        from sonicdiffusionbayeslab_tpu.schedulers.deis import deis_rows
+
+        ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
+        return deis_rows(self.schedule, ladder, list(executed), tag=tag, **self._kw())
+
+    def transition_rows_from_schedule(self, ts, start, tag=""):
+        from sonicdiffusionbayeslab_tpu.schedulers.deis import deis_rows
+
+        ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
+        return deis_rows(self.schedule, ladder, range(start, len(ts)), tag=tag, **self._kw())
+
+    def skip_rows(self, num_steps, executed, tag=""):
+        from sonicdiffusionbayeslab_tpu.schedulers.deis import deis_rows
+
+        ts = self.timesteps(num_steps)
+        ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
+        first = executed[0]
+        positions = [first + k for k in range(len(executed))]
+        unet_ts = [int(ts[i]) for i in executed]
+        return deis_rows(
             self.schedule, ladder, positions, unet_timesteps=unet_ts, tag=tag, **self._kw()
         )
 
