@@ -37,6 +37,45 @@ def main():
     from sonicdiffusionbayeslab_tpu.models.tokenizer import HashTokenizer
     from sonicdiffusionbayeslab_tpu.schedulers import DPMSolverScheduler
 
+    sdxl = os.environ.get("SDBL_BENCH_MODEL", "").lower() == "sdxl"
+    if on_tpu and not quick and sdxl:
+        # Secondary benchmark (docs/PERF.md): SDXL-base geometry at 1024px.
+        # The driver's recorded metric stays the SD-1.5 hero config below.
+        from sonicdiffusionbayeslab_tpu.models import SDXLEngine, SDXLTextConfigs
+
+        batch = int(os.environ.get("SDBL_BENCH_BATCH", "4"))
+        engine = SDXLEngine(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+        params = engine.init_params(seed=0, latent_hw=128)
+        tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+        tok2 = HashTokenizer(vocab_size=engine.text2_config.vocab_size)
+        prompts = ["a man on a snowboard coming down a slope"] * batch
+        ctx, pooled = engine.encode_prompts_xl(params, tok(prompts), tok2(prompts))
+        nctx, npooled = engine.encode_prompts_xl(params, tok([""] * batch), tok2([""] * batch))
+        added = {
+            "text_embeds": pooled, "negative_text_embeds": npooled,
+            "time_ids": jnp.tile(
+                jnp.asarray([[1024., 1024., 0., 0., 1024., 1024.]], jnp.float32),
+                (batch, 1),
+            ),
+        }
+        plan = DPMSolverScheduler(solver_order=2).build_plan(20)
+        key = jax.random.PRNGKey(29)
+        kw = dict(latent_hw=(128, 128), guidance_scale=7.5, decode=False,
+                  added_cond=added)
+        engine.sample(params, plan, ctx, nctx, key, **kw)  # warm-up/compile
+        times = []
+        for r in range(3):
+            out = engine.sample(params, plan, ctx, nctx, jax.random.fold_in(key, r), **kw)
+            times.append(out.execution_time)
+        sec_per_image = min(times) / batch
+        print(json.dumps({
+            "metric": f"images/hour/chip SDXL 1024px @20-step DPM-Solver++ (loop-only, batch {batch})",
+            "value": round(3600.0 / sec_per_image, 1),
+            "unit": "images/hour/chip",
+            "vs_baseline": round(3600.0 / sec_per_image / 2000.0, 3),
+        }))
+        return
+
     if on_tpu and not quick:
         unet_cfg, vae_cfg, text_cfg = UNetConfig.sd15(), VAEConfig.sd15(), CLIPTextConfig.sd15()
         latent_hw, batch = 64, int(os.environ.get("SDBL_BENCH_BATCH", "8"))
