@@ -1,0 +1,120 @@
+"""LCM consistency distillation: fixed-rng probe improvement, teacher
+frozen, boundary scalings match the LCM sampler, distilled student samples
+through the LCM plan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonicdiffusionbayeslab_tpu.models import (
+    CLIPTextConfig,
+    StableDiffusionEngine,
+    UNetConfig,
+    VAEConfig,
+)
+from sonicdiffusionbayeslab_tpu.models import weights as W
+from sonicdiffusionbayeslab_tpu.schedulers import LCMScheduler
+from sonicdiffusionbayeslab_tpu.training.distillation import LCMDistillConfig, LCMDistiller
+from sonicdiffusionbayeslab_tpu.training.trainer import TrainState
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return StableDiffusionEngine(
+        UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny(),
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def params(engine):
+    return engine.init_params(seed=0, latent_hw=8)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    lat = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (4, 77, 32))
+    return lat, ctx, jnp.zeros_like(ctx)
+
+
+def test_distill_grid_matches_lcm_sampler(engine):
+    """The distillation grid must be the LCM sampler's node set — otherwise
+    the distilled model is queried off-grid at inference."""
+    from sonicdiffusionbayeslab_tpu.schedulers.lcm import lcm_timesteps
+
+    dist = LCMDistiller(engine, LCMDistillConfig(original_inference_steps=10))
+    sampler_ts = lcm_timesteps(10, 1000, 10)
+    assert set(int(t) for t in sampler_ts) <= set(int(t) for t in dist.grid)
+
+
+def test_distill_boundary_scalings_match_sampler(engine):
+    """c_skip/c_out here and in schedulers/lcm.py must agree — the
+    consistency property only transfers if both sides use one convention."""
+    dist = LCMDistiller(engine, LCMDistillConfig())
+    t = jnp.asarray([0, 499, 999])
+    c_skip, c_out = dist._scalings(t)
+    for i, tv in enumerate([0, 499, 999]):
+        scaled = tv * 10.0
+        np.testing.assert_allclose(
+            float(c_skip[i, 0, 0, 0]), 0.25 / (scaled**2 + 0.25), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(c_out[i, 0, 0, 0]), scaled / np.sqrt(scaled**2 + 0.25), rtol=1e-6
+        )
+    # Clean boundary: f(z, 0) == z (c_skip=1, c_out=0).
+    assert float(c_skip[0, 0, 0, 0]) == 1.0 and float(c_out[0, 0, 0, 0]) == 0.0
+
+
+def test_distill_loss_improves_and_teacher_frozen(engine, params, batch):
+    lat, ctx, unc = batch
+    dist = LCMDistiller(
+        engine,
+        LCMDistillConfig(learning_rate=1e-3, lora_rank=4, original_inference_steps=10),
+    )
+    st0 = dist.init_state(params, key=jax.random.PRNGKey(7))
+    teacher_before = W.flatten(jax.tree.map(np.asarray, params["unet"]))
+    key = jax.random.PRNGKey(42)
+    _, m0 = dist.distill_step(st0, params, lat, ctx, unc, key)
+    st = st0
+    for _ in range(15):
+        st, m = dist.distill_step(st, params, lat, ctx, unc, key)
+        assert np.isfinite(float(m["loss"])) and float(m["grad_norm"]) > 0
+    probe = TrainState(step=jnp.zeros((), jnp.int32), trainable=st.trainable,
+                       opt_state=st0.opt_state, ema=st.ema)
+    _, m1 = dist.distill_step(probe, params, lat, ctx, unc, key)
+    assert float(m1["loss"]) < float(m0["loss"])
+    for k, v in teacher_before.items():
+        np.testing.assert_array_equal(
+            v, np.asarray(W.flatten(params["unet"])[k]), err_msg=k
+        )
+
+
+def test_distilled_student_samples_with_lcm_plan(engine, params, batch):
+    lat, ctx, unc = batch
+    dist = LCMDistiller(
+        engine,
+        LCMDistillConfig(learning_rate=1e-3, lora_rank=4, original_inference_steps=10),
+    )
+    st = dist.init_state(params, key=jax.random.PRNGKey(7))
+    for _ in range(3):
+        st, _ = dist.distill_step(st, params, lat, ctx, unc, jax.random.PRNGKey(9))
+    p2 = dict(params)
+    p2["unet"] = dist.student_unet_params(st, params)
+    plan = LCMScheduler(original_inference_steps=10).build_plan(4)
+    out = engine.sample(p2, plan, ctx[:1], None, jax.random.PRNGKey(0),
+                        guidance_scale=0.0, latent_hw=(8, 8))
+    assert out.images.shape == (1, 16, 16, 3)
+    assert bool(jnp.isfinite(out.images).all())
+    assert out.nfe == 4
+
+
+def test_distill_rejects_vpred_teacher(engine):
+    import dataclasses
+
+    from sonicdiffusionbayeslab_tpu.schedulers.schedule import ScheduleConfig
+
+    vpred = dataclasses.replace(ScheduleConfig(), prediction_type="v_prediction")
+    with pytest.raises(ValueError, match="epsilon"):
+        LCMDistiller(engine, LCMDistillConfig(), schedule_config=vpred)
