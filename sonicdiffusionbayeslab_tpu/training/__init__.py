@@ -15,6 +15,7 @@ from sonicdiffusionbayeslab_tpu.training.lora import (
     init_lora,
     lora_to_peft_state_dict,
 )
+from sonicdiffusionbayeslab_tpu.training.distillation import LCMDistillConfig, LCMDistiller
 from sonicdiffusionbayeslab_tpu.training.textual_inversion import TextualInversionTrainer
 from sonicdiffusionbayeslab_tpu.training.trainer import (
     DiffusionTrainer,
@@ -24,6 +25,8 @@ from sonicdiffusionbayeslab_tpu.training.trainer import (
 
 __all__ = [
     "DiffusionTrainer",
+    "LCMDistillConfig",
+    "LCMDistiller",
     "TextualInversionTrainer",
     "TrainConfig",
     "TrainState",

@@ -52,7 +52,7 @@ def run_training(config) -> Dict[str, Any]:
     seed = int(config.get("experiment", {}).get("seed", 29))
     n_data = int(tcfg_raw.pop("mesh_data", 0))
     n_model = int(tcfg_raw.pop("mesh_model", 1))
-    tcfg = train_config_from_dict(tcfg_raw)
+    mode = str(tcfg_raw.pop("mode", "diffusion"))  # diffusion | distill
 
     mcfg = dict(config.model)
     name = mcfg.pop("model_name", "stable_diffusion_model")
@@ -65,8 +65,25 @@ def run_training(config) -> Dict[str, Any]:
         dcfg["img_dataset"], dcfg["prompts"], dcfg.get("image_size", 512)
     )
 
-    trainer = DiffusionTrainer(engine, tcfg)
     key = jax.random.PRNGKey(seed)
+    if mode == "distill":
+        import dataclasses as _dc
+
+        from sonicdiffusionbayeslab_tpu.training.distillation import (
+            LCMDistillConfig,
+            LCMDistiller,
+        )
+
+        keep = {f.name for f in _dc.fields(LCMDistillConfig)}
+        dkw = {k: v for k, v in tcfg_raw.items() if k in keep}
+        if "betas" in dkw:
+            dkw["betas"] = tuple(dkw["betas"])
+        trainer = LCMDistiller(engine, LCMDistillConfig(**dkw))
+        uncond_ids = pipe.tokenizer([""] * batch_size)
+    elif mode == "diffusion":
+        trainer = DiffusionTrainer(engine, train_config_from_dict(tcfg_raw))
+    else:
+        raise ValueError(f"unknown training mode {mode!r} (diffusion|distill)")
     state = trainer.init_state(params, key=key)
 
     mesh = None
@@ -92,19 +109,28 @@ def run_training(config) -> Dict[str, Any]:
             ids = pipe.tokenizer(list(batch["prompt"]))
             context = engine.encode_prompts(params, ids)
             hint = None
-            if trainer.target == "controlnet":
+            if mode == "diffusion" and trainer.target == "controlnet":
                 # Identity conditioning: the raw image is the hint. Real
                 # control maps (canny/depth/pose) are precomputed offline
                 # into the image dir of a dedicated dataset.
                 hint = images
+            uncond = (
+                engine.encode_prompts(params, uncond_ids) if mode == "distill" else None
+            )
             if mesh is not None:
                 from sonicdiffusionbayeslab_tpu.parallel import shard_batch
 
                 latents, context = shard_batch(mesh, latents, context)
                 if hint is not None:
                     hint = shard_batch(mesh, hint)
-            state, metrics = trainer.train_step(state, params, latents, context, key,
-                                                hint=hint)
+                if uncond is not None:
+                    uncond = shard_batch(mesh, uncond)
+            if mode == "distill":
+                state, metrics = trainer.distill_step(state, params, latents, context,
+                                                      uncond, key)
+            else:
+                state, metrics = trainer.train_step(state, params, latents, context, key,
+                                                    hint=hint)
             step += 1
             if step % log_every == 0 or step == num_steps:
                 loss = float(metrics["loss"])
@@ -124,7 +150,7 @@ def _save(trainer, state, params, engine, save_dir: Path, step: int, final: bool
 
     tag = "final" if final else f"step_{step}"
     out = save_dir / tag
-    if trainer.target == "controlnet":
+    if getattr(trainer, "target", None) == "controlnet":
         save_params({"controlnet": trainer.controlnet_params(state)}, out)
     elif trainer.config.lora_rank > 0:
         # Export the adapters in the peft layout merge_lora consumes.

@@ -110,6 +110,44 @@ def test_distilled_student_samples_with_lcm_plan(engine, params, batch):
     assert out.nfe == 4
 
 
+def test_distill_mode_config_loop(tmp_path):
+    """sdbl-train with training.mode=distill runs the distillation loop and
+    exports the LoRA student."""
+    import json
+
+    import yaml
+    from PIL import Image
+
+    from sonicdiffusionbayeslab_tpu.config import load_config
+    from sonicdiffusionbayeslab_tpu.training.loop import run_training
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    prompts = {}
+    for i in range(4):
+        f = f"im_{i}.png"
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(img_dir / f)
+        prompts[f] = f"synthetic image {i}"
+    (tmp_path / "prompts.json").write_text(json.dumps(prompts))
+    cfg = {
+        "experiment": {"seed": 29},
+        "model": {"model_name": "stable_diffusion_model", "pretrained_model": "x",
+                  "tiny": True, "image_size": 64, "dtype": "float32"},
+        "dataset": {"img_dataset": str(img_dir), "prompts": str(tmp_path / "prompts.json"),
+                    "image_size": 64},
+        "training": {"mode": "distill", "num_steps": 3, "batch_size": 2,
+                     "log_every": 1, "learning_rate": 1e-3, "lora_rank": 2,
+                     "original_inference_steps": 10,
+                     "save_dir": str(tmp_path / "ckpt")},
+    }
+    p = tmp_path / "train.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    out = run_training(load_config(str(p)))
+    assert all(np.isfinite(l) for l in out["losses"])
+    assert (tmp_path / "ckpt" / "final" / "lora_peft.npz").exists()
+
+
 def test_distill_rejects_vpred_teacher(engine):
     import dataclasses
 
