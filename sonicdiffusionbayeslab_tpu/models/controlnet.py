@@ -103,6 +103,23 @@ class ControlNet(nn.Module):
         t_emb = TimestepEmbedMLP(cfg.block_out_channels[0] * 4, name="time_embedding", **kw)(
             t_emb.astype(self.dtype)
         )
+        if cfg.addition_time_embed_dim is not None:
+            # SDXL text_time micro-conditioning — same structure (and hence
+            # converter map entries) as models/unet.py's add_embedding.
+            if added_cond is None:
+                raise ValueError(
+                    "this ControlNet config requires added_cond={'text_embeds', 'time_ids'}"
+                )
+            ids = added_cond["time_ids"].astype(jnp.float32)
+            B, K = ids.shape
+            id_emb = timestep_embedding(ids.reshape(-1), cfg.addition_time_embed_dim)
+            id_emb = id_emb.reshape(B, K * cfg.addition_time_embed_dim)
+            add_in = jnp.concatenate(
+                [added_cond["text_embeds"].astype(jnp.float32), id_emb], axis=-1
+            )
+            t_emb = t_emb + TimestepEmbedMLP(
+                cfg.block_out_channels[0] * 4, name="add_embedding", **kw
+            )(add_in.astype(self.dtype))
         ctx = encoder_hidden_states.astype(self.dtype)
 
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in", **kw)(

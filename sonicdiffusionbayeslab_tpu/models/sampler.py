@@ -136,8 +136,15 @@ class StableDiffusionEngine:
         lat = jnp.zeros((1, latent_hw, latent_hw, self.unet_config.in_channels))
         ctx = jnp.zeros((1, self.text_config.max_length, self.unet_config.cross_attention_dim))
         cond = jnp.zeros((1, latent_hw * 8, latent_hw * 8, 3))
+        added = None
+        if self.unet_config.addition_time_embed_dim is not None:  # SDXL family
+            pooled_dim = (self.unet_config.projection_class_embeddings_input_dim
+                          - 6 * self.unet_config.addition_time_embed_dim)
+            added = {"text_embeds": jnp.zeros((1, pooled_dim)),
+                     "time_ids": jnp.zeros((1, 6))}
         return self.controlnet.init(
-            jax.random.PRNGKey(seed ^ 0xC0), lat, jnp.zeros((1,)), ctx, cond
+            jax.random.PRNGKey(seed ^ 0xC0), lat, jnp.zeros((1,)), ctx, cond,
+            1.0, added,
         )["params"]
 
     # ------------------------------------------------------------- encode
@@ -243,7 +250,7 @@ class StableDiffusionEngine:
                     # produce the residuals the UNet injects at its skips.
                     residuals = controlnet.apply(
                         {"params": control_params}, lat_in, tb, embeds,
-                        control_hint, control_scale,
+                        control_hint, control_scale, added,
                     )
                     noise_pred = unet.apply(
                         {"params": unet_params}, lat_in, tb, embeds, added,

@@ -165,6 +165,71 @@ def test_controlnet_rejects_deepcache(engine, params, cn_params):
         )
 
 
+def test_sdxl_controlnet_zero_init_noop_and_conditioning():
+    """SDXL-family ControlNet: encoder copy threads text_time conditioning;
+    zero-init heads keep the SDXL UNet output bit-identical."""
+    from sonicdiffusionbayeslab_tpu.models import SDXLEngine, SDXLTextConfigs
+
+    eng = SDXLEngine(
+        UNetConfig.tiny_xl(), VAEConfig.tiny(), SDXLTextConfigs.tiny(),
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    params = eng.init_params(seed=0, latent_hw=8)
+    cn = eng.init_controlnet_params(seed=0, latent_hw=8)
+    assert "add_embedding" in cn  # text_time conditioning present in the copy
+
+    x = jnp.ones((2, 8, 8, 4))
+    t = jnp.array([501.0, 501.0])
+    ctx = jnp.ones((2, 77, 32))
+    added = {
+        "text_embeds": jnp.ones((2, 16), jnp.float32),
+        "time_ids": jnp.tile(jnp.asarray([[64., 64., 0., 0., 64., 64.]], jnp.float32), (2, 1)),
+    }
+    with pytest.raises(ValueError, match="added_cond"):
+        eng.controlnet.apply({"params": cn}, x, t, ctx, _cond(), 1.0)
+    down, mid = eng.controlnet.apply({"params": cn}, x, t, ctx, _cond(), 1.0, added)
+    assert all(float(jnp.abs(r).max()) == 0.0 for r in down)
+    base = eng.unet.apply({"params": params["unet"]}, x, t, ctx, added)
+    out = eng.unet.apply({"params": params["unet"]}, x, t, ctx, added,
+                         control_residuals=(down, mid))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+
+    # Converter round trip for the SDXL-family map (incl. add_embedding).
+    nm = W.controlnet_name_map(eng.unet_config)
+    sd = W.invert(jax.tree.map(np.asarray, cn), nm)
+    assert "add_embedding.linear_1.weight" in sd
+    back = W.convert(sd, nm, W.flatten(jax.tree.map(np.asarray, cn)).keys())
+    fa, fb = W.flatten(jax.tree.map(np.asarray, cn)), W.flatten(back)
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k], err_msg=k)
+
+
+def test_sdxl_controlnet_sample_end_to_end():
+    from sonicdiffusionbayeslab_tpu.models import SDXLEngine, SDXLTextConfigs
+    from sonicdiffusionbayeslab_tpu.models.tokenizer import HashTokenizer
+
+    eng = SDXLEngine(
+        UNetConfig.tiny_xl(), VAEConfig.tiny(), SDXLTextConfigs.tiny(),
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    params = eng.init_params(seed=0, latent_hw=8)
+    cn = eng.init_controlnet_params(seed=0, latent_hw=8)
+    tok1 = HashTokenizer(vocab_size=eng.text_config.vocab_size)
+    tok2 = HashTokenizer(vocab_size=eng.text2_config.vocab_size)
+    ctx, pooled = eng.encode_prompts_xl(params, tok1(["a cat"]), tok2(["a cat"]))
+    nctx, npooled = eng.encode_prompts_xl(params, tok1([""]), tok2([""]))
+    added = {"text_embeds": pooled, "negative_text_embeds": npooled,
+             "time_ids": jnp.asarray([[64., 64., 0., 0., 64., 64.]], jnp.float32)}
+    plan = DPMSolverScheduler(solver_order=2).build_plan(3)
+    out = eng.sample(
+        params, plan, ctx, nctx, jax.random.PRNGKey(29),
+        guidance_scale=5.0, latent_hw=(8, 8), added_cond=added,
+        control={"params": cn, "image": _cond(1), "scale": 1.0},
+    )
+    assert out.images.shape == (1, 16, 16, 3)
+    assert bool(jnp.isfinite(out.images).all())
+
+
 def test_controlnet_pipeline_registry_e2e():
     from sonicdiffusionbayeslab_tpu.registry import load_all_plugins, models_registry
     from sonicdiffusionbayeslab_tpu.schedulers import EulerScheduler
