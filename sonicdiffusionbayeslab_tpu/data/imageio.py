@@ -74,13 +74,13 @@ def read_image(path: str | Path, image_size: Optional[int] = None) -> np.ndarray
     return img.astype(np.float32) / 255.0
 
 
-def write_png(path: str | Path, image: np.ndarray) -> None:
-    """image: HWC uint8 or float in [0, 1]."""
+def encode_png_bytes(image: np.ndarray) -> bytes:
+    """HWC uint8 / float-[0,1] image -> PNG bytes, through the native C++
+    encoder (runtime/dataio.cpp::sdbl_encode_png) with a PIL fallback —
+    the serving hot path (serving/server.py)."""
     if image.dtype != np.uint8:
         image = np.clip(np.asarray(image, np.float32) * 255.0 + 0.5, 0, 255).astype(np.uint8)
     image = np.ascontiguousarray(image)
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
     lib = load_dataio()
     if lib is not None and image.ndim == 3 and image.shape[2] == 3:
         h, w = image.shape[:2]
@@ -92,8 +92,18 @@ def write_png(path: str | Path, image: np.ndarray) -> None:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_int64(cap),
         )
         if n > 0:
-            path.write_bytes(out[:n].tobytes())
-            return
+            return out[:n].tobytes()
+    import io
+
     from PIL import Image
 
-    Image.fromarray(image).save(path)
+    buf = io.BytesIO()
+    Image.fromarray(image).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def write_png(path: str | Path, image: np.ndarray) -> None:
+    """image: HWC uint8 or float in [0, 1]."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(encode_png_bytes(image))

@@ -18,7 +18,6 @@ single worker so requests coalesce into full device batches.
 from __future__ import annotations
 
 import base64
-import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -30,11 +29,9 @@ from sonicdiffusionbayeslab_tpu.serving.batcher import GenerateRequest, Inferenc
 
 
 def _png_b64(image: np.ndarray) -> str:
-    from sonicdiffusionbayeslab_tpu.utils.images import to_pil_image
+    from sonicdiffusionbayeslab_tpu.data.imageio import encode_png_bytes
 
-    buf = io.BytesIO()
-    to_pil_image(image).save(buf, format="PNG")
-    return base64.b64encode(buf.getvalue()).decode("ascii")
+    return base64.b64encode(encode_png_bytes(image)).decode("ascii")
 
 
 def make_handler(server: InferenceServer, model_name: str):

@@ -45,6 +45,24 @@ def test_native_png_roundtrip(lib, tmp_path):
     np.testing.assert_array_equal((back * 255 + 0.5).astype(np.uint8), img)
 
 
+def test_encode_png_bytes_in_memory(lib):
+    """The serving path's in-memory encoder: valid PNG, exact round trip."""
+    from io import BytesIO
+
+    from sonicdiffusionbayeslab_tpu.data.imageio import encode_png_bytes
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (19, 23, 3), dtype=np.uint8)
+    data = encode_png_bytes(img)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    back = np.asarray(Image.open(BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(back, img)
+    # Float input path quantizes like write_png.
+    dataf = encode_png_bytes(img.astype(np.float32) / 255.0)
+    backf = np.asarray(Image.open(BytesIO(dataf)).convert("RGB"))
+    np.testing.assert_array_equal(backf, img)
+
+
 def test_native_jpeg_decode_close_to_pil(lib, tmp_path):
     rng = np.random.default_rng(2)
     img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
