@@ -558,7 +558,11 @@ def merge_lora(
             part = k.rsplit(".", 2)[-2]  # lora_down / lora_up
             slot = {"lora_down": "down", "lora_up": "up"}.get(part)
         elif kk.startswith("unet."):
-            base = kk[len("unet."):].rsplit(".lora_", 1)[0]
+            stripped = kk[len("unet."):]
+            if stripped.endswith(".alpha"):  # peft alpha has no .lora_ marker
+                base = stripped[: -len(".alpha")]
+            else:
+                base = stripped.rsplit(".lora_", 1)[0]
             slot = "down" if ".lora_A." in kk else ("up" if ".lora_B." in kk else None)
         else:
             continue

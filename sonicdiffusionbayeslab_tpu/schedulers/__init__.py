@@ -387,6 +387,21 @@ class DEISScheduler(_PlanBuilder):
         ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
         return deis_rows(self.schedule, ladder, range(start, len(ts)), tag=tag, **self._kw())
 
+    def ladder_rows(self, ts_exec, positions, tag=""):
+        from sonicdiffusionbayeslab_tpu.schedulers.deis import deis_rows
+
+        ladder = make_ladder(self.schedule, ts_exec, self.final_sigmas_type)
+        orders = simulate_orders(
+            positions,
+            len(ts_exec),
+            self.solver_order,
+            lower_order_final=self.lower_order_final,
+            euler_at_final=self.euler_at_final,
+            final_sigmas_type=self.final_sigmas_type,
+        )
+        return deis_rows(self.schedule, ladder, positions, orders=orders, tag=tag,
+                         **self._kw())
+
     def skip_rows(self, num_steps, executed, tag=""):
         from sonicdiffusionbayeslab_tpu.schedulers.deis import deis_rows
 

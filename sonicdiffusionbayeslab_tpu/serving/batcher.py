@@ -17,6 +17,7 @@ compilation.  The batcher therefore:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
@@ -52,6 +53,7 @@ class InferenceServer:
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._backlog: "collections.deque[_Pending]" = collections.deque()
         self._counter = 0
         self._counter_lock = threading.Lock()
         self._stop = threading.Event()
@@ -66,6 +68,10 @@ class InferenceServer:
     def submit(self, request: GenerateRequest) -> Future:
         if self._stop.is_set():
             raise RuntimeError("server is shut down")
+        if request.seed is not None and not isinstance(request.seed, (int, np.integer)):
+            # Validate here, in the caller's thread — a malformed seed must
+            # become the submitter's error, never a worker-thread death.
+            raise ValueError(f"seed must be an integer or null, got {request.seed!r}")
         with self._counter_lock:
             idx = self._counter
             self._counter += 1
@@ -81,6 +87,20 @@ class InferenceServer:
         self._queue.put(None)  # wake the worker
         if wait:
             self._worker.join(timeout=30)
+        # Fail queued-but-unserved requests immediately instead of leaving
+        # their callers blocked until timeout.
+        err = RuntimeError("server is shut down")
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if p is not None and not p.future.done():
+                p.future.set_exception(err)
+        for p in self._backlog:
+            if not p.future.done():
+                p.future.set_exception(err)
+        self._backlog.clear()
 
     # ------------------------------------------------------------- worker
     @staticmethod
@@ -89,13 +109,26 @@ class InferenceServer:
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            item = self._queue.get()
-            if item is None:
-                continue
+            # Backlog first: requests spilled from earlier cycles (different
+            # signature) are strictly older than anything in the queue, so
+            # serving them first bounds their latency — a sustained stream
+            # of one signature cannot starve another.
+            if self._backlog:
+                item = self._backlog.popleft()
+            else:
+                item = self._queue.get()
+                if item is None:
+                    continue
             batch = [item]
             key = self._group_key(item.request)
+            # Same-signature stragglers from the backlog join for free.
+            for p in list(self._backlog):
+                if len(batch) >= self.max_batch:
+                    break
+                if self._group_key(p.request) == key:
+                    self._backlog.remove(p)
+                    batch.append(p)
             deadline = time.monotonic() + self.max_wait_s
-            spill: List[_Pending] = []
             while len(batch) < self.max_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
@@ -109,10 +142,14 @@ class InferenceServer:
                 if self._group_key(nxt.request) == key:
                     batch.append(nxt)
                 else:
-                    spill.append(nxt)  # different signature: next batch
-            for s in spill:
-                self._queue.put(s)
-            self._run_batch(batch)
+                    self._backlog.append(nxt)  # older-first next cycle
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # the worker must never die
+                self.stats["errors"] += len(batch)
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(e)
 
     def _run_batch(self, batch: List[_Pending]) -> None:
         import jax

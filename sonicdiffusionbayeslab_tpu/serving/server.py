@@ -69,18 +69,22 @@ def make_handler(server: InferenceServer, model_name: str):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                seed = req.get("seed")
+                if seed is not None:
+                    seed = int(seed)
                 g = GenerateRequest(
                     prompt=str(req["prompt"]),
                     num_inference_steps=int(req.get("steps", 20)),
                     guidance_scale=float(req.get("guidance", 7.5)),
                     negative_prompt=str(req.get("negative_prompt", "")),
-                    seed=req.get("seed"),
+                    seed=seed,
                 )
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                fut = server.submit(g)  # submit validates; errors are 400s
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                 self._send(400, {"error": f"bad request: {e}"})
                 return
             try:
-                out = server.generate(g, timeout=600)
+                out = fut.result(timeout=600)
             except Exception as e:  # surfaced engine errors
                 self._send(500, {"error": str(e)})
                 return
@@ -139,7 +143,17 @@ def main() -> None:
     mcfg.setdefault("image_size", cfg.dataset.get("image_size", 512))
     pipe = models_registry[name](**mcfg)
     sname = cfg.get("scheduler", {}).get("scheduler_name", "dpm_solver_scheduler")
-    pipe.scheduler = schedulers_registry[sname]()
+    # Scheduler kwargs flow from experiment_params exactly like the
+    # experiment path (experiments/base.py::build_scheduler) — serving an
+    # SD-2.1 v_prediction config with epsilon rows would produce garbage.
+    import inspect
+
+    ep = dict(cfg.get("experiment_params", {}) or {})
+    accepted = set(inspect.signature(schedulers_registry[sname].__init__).parameters)
+    skw = {k: v for k, v in ep.items() if k in accepted}
+    pipe.scheduler = schedulers_registry[sname](**skw)
+    if skw:
+        print(f"scheduler kwargs from experiment_params: {skw}")
     print(f"serving {name} ({sname}) on http://{args.host}:{args.port}")
     serve(pipe, name, args.host, args.port, args.max_batch, args.max_wait_ms)
 

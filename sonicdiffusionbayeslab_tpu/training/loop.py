@@ -64,6 +64,12 @@ def run_training(config) -> Dict[str, Any]:
     dataset = ImageDatasetWithPrompts(
         dcfg["img_dataset"], dcfg["prompts"], dcfg.get("image_size", 512)
     )
+    if len(dataset) < batch_size:
+        # batched(drop_remainder=True) would yield nothing and the step loop
+        # would spin forever.
+        raise ValueError(
+            f"dataset has {len(dataset)} items < batch_size {batch_size}"
+        )
 
     key = jax.random.PRNGKey(seed)
     if mode == "distill":
@@ -96,6 +102,15 @@ def run_training(config) -> Dict[str, Any]:
             state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
         )
 
+    uncond = None
+    if mode == "distill":
+        # The empty-prompt context is constant — encode (and shard) it once.
+        uncond = engine.encode_prompts(params, uncond_ids)
+        if n_data:
+            from sonicdiffusionbayeslab_tpu.parallel import shard_batch
+
+            uncond = shard_batch(mesh, uncond)
+
     losses: list = []
     step = 0
     t0 = time.perf_counter()
@@ -114,17 +129,12 @@ def run_training(config) -> Dict[str, Any]:
                 # control maps (canny/depth/pose) are precomputed offline
                 # into the image dir of a dedicated dataset.
                 hint = images
-            uncond = (
-                engine.encode_prompts(params, uncond_ids) if mode == "distill" else None
-            )
             if mesh is not None:
                 from sonicdiffusionbayeslab_tpu.parallel import shard_batch
 
                 latents, context = shard_batch(mesh, latents, context)
                 if hint is not None:
                     hint = shard_batch(mesh, hint)
-                if uncond is not None:
-                    uncond = shard_batch(mesh, uncond)
             if mode == "distill":
                 state, metrics = trainer.distill_step(state, params, latents, context,
                                                       uncond, key)
@@ -152,6 +162,9 @@ def _save(trainer, state, params, engine, save_dir: Path, step: int, final: bool
     out = save_dir / tag
     if getattr(trainer, "target", None) == "controlnet":
         save_params({"controlnet": trainer.controlnet_params(state)}, out)
+    elif trainer.config.lora_rank == 0 and hasattr(trainer, "student_unet_params"):
+        # Full-UNet distillation (LCMDistiller has no unet_params method).
+        save_params({"unet": trainer.student_unet_params(state, params)}, out)
     elif trainer.config.lora_rank > 0:
         # Export the adapters in the peft layout merge_lora consumes.
         from sonicdiffusionbayeslab_tpu.models.weights import unet_name_map

@@ -38,7 +38,11 @@ class TextualInversionTrainer:
     ):
         self.engine = engine
         self.config = config
-        self.placeholder_ids = np.asarray(sorted(set(int(i) for i in placeholder_ids)))
+        # Order-preserving dedupe: init_ids pair with placeholder_ids BY
+        # POSITION, so sorting here would silently permute concept seeds.
+        self.placeholder_ids = np.asarray(
+            list(dict.fromkeys(int(i) for i in placeholder_ids))
+        )
         if len(self.placeholder_ids) == 0:
             raise ValueError("need at least one placeholder token id")
         if self.placeholder_ids.max() >= engine.text_config.vocab_size:

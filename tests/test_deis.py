@@ -133,6 +133,16 @@ def test_deis_x0_capture_and_vpred():
     assert plan.rows[0].cm_sample != 0.0
 
 
+def test_deis_composes_in_interleave_plan():
+    """DEIS implements ladder_rows, so it composes with the interleaving
+    method like DPM does."""
+    from sonicdiffusionbayeslab_tpu.schedulers import DDIMScheduler, interleave_plan
+
+    plan = interleave_plan(DEISScheduler(solver_order=2), DDIMScheduler(), 8, [3, 4])
+    out = reference_apply(plan, path_sample(int(plan.timesteps[0])), random_eps_fn(5))
+    assert np.isfinite(out).all()
+
+
 def test_deis_method_e2e(tmp_path):
     import yaml
 

@@ -78,6 +78,22 @@ def test_mixed_signatures_split_batches(server):
     assert [o["nfe"] for o in outs] == [3, 2, 3]
 
 
+def test_malformed_seed_is_submitters_error(server):
+    """A bad seed must raise in the caller, not kill the worker thread."""
+    with pytest.raises(ValueError, match="seed"):
+        server.submit(GenerateRequest("a cat", num_inference_steps=2, seed="abc"))
+    # The worker is still alive and serving.
+    out = server.generate(GenerateRequest("a cat", num_inference_steps=2), timeout=300)
+    assert out["image"].shape == (16, 16, 3)
+
+
+def test_shutdown_fails_queued_requests_fast(pipe):
+    s = InferenceServer(pipe, max_batch=4, max_wait_ms=50.0)
+    s.shutdown()
+    with pytest.raises(RuntimeError, match="shut down"):
+        s.submit(GenerateRequest("a cat"))
+
+
 def test_http_server_end_to_end(pipe):
     from sonicdiffusionbayeslab_tpu.serving.server import serve
 

@@ -81,6 +81,18 @@ def test_ti_save_embeddings_artifact(tmp_path, engine, params):
     assert data["embeddings"].shape == (1, 32)
 
 
+def test_ti_placeholder_order_preserved(engine, params):
+    """init_ids pair with placeholder_ids by position — no silent sorting."""
+    tr = TextualInversionTrainer(engine, placeholder_ids=[700, 300],
+                                 config=TrainConfig(learning_rate=1e-3))
+    assert list(tr.placeholder_ids) == [700, 300]
+    st = tr.init_state(params, init_ids=[10, 11])
+    table = np.asarray(params["text"]["token_embedding"]["embedding"])
+    # Row 0 (token 700) seeded from token 10; row 1 (token 300) from 11.
+    np.testing.assert_array_equal(np.asarray(st.trainable)[0], table[10])
+    np.testing.assert_array_equal(np.asarray(st.trainable)[1], table[11])
+
+
 def test_ti_validation(engine, params):
     with pytest.raises(ValueError, match="placeholder"):
         TextualInversionTrainer(engine, placeholder_ids=[])

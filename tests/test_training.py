@@ -103,6 +103,17 @@ def test_lora_peft_export_round_trip(engine, params, batch):
             atol=1e-5, err_msg=k,
         )
 
+    # Non-default alpha in the peft layout must actually be honored: doubling
+    # the exported alphas doubles the fused delta (alpha keys parse even
+    # though they carry no .lora_ marker).
+    sd2 = {k: (v * 2.0 if k.endswith(".alpha") else v) for k, v in sd.items()}
+    fused2 = W.flatten(W.merge_lora(jax.tree.map(np.asarray, params["unet"]), sd2, nm))
+    base = W.flatten(jax.tree.map(np.asarray, params["unet"]))
+    for k in fa:
+        d1 = np.asarray(fb[k], np.float32) - np.asarray(base[k], np.float32)
+        d2 = np.asarray(fused2[k], np.float32) - np.asarray(base[k], np.float32)
+        np.testing.assert_allclose(d2, 2.0 * d1, atol=1e-5, err_msg=k)
+
 
 def test_ema_shadow_math(engine, params, batch):
     lat, ctx = batch
@@ -267,3 +278,11 @@ def test_run_training_from_config(tmp_path):
     assert len(out["losses"]) >= 1
     assert all(np.isfinite(l) for l in out["losses"])
     assert (tmp_path / "ckpt" / "final" / "lora_peft.npz").exists()
+
+    # Guard: a dataset smaller than the batch is an error, not a silent
+    # infinite loop (batched(drop_remainder=True) would yield no batches).
+    cfg["training"]["batch_size"] = 64
+    p2 = tmp_path / "train_toobig.yaml"
+    p2.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(ValueError, match="batch_size"):
+        run_training(load_config(str(p2)))
