@@ -208,17 +208,19 @@ class DDIMScheduler(_PlanBuilder):
         )
 
 
-@schedulers_registry.add_to_registry("dpm_solver_scheduler")
-class DPMSolverScheduler(_PlanBuilder):
-    NAME = "dpm_solver"
+class _MultistepLadderScheduler(_PlanBuilder):
+    """Shared body for ladder-based multistep exponential integrators (DPM,
+    DEIS): Karras/linear ladders, tail re-simulation from an empty history,
+    order warm-up/demotion bookkeeping, and every composer hook.  Subclasses
+    set ``_rows`` (the row-expansion function) and extend ``_kw``."""
+
+    PLAN_PREFIX = "multistep"
 
     def __init__(
         self,
         schedule_config=None,
         prediction_type=None,
         solver_order: int = 2,
-        algorithm_type: str = "dpmsolver++",
-        solver_type: str = "midpoint",
         final_sigmas_type: str = "zero",
         lower_order_final: bool = True,
         euler_at_final: bool = False,
@@ -228,18 +230,18 @@ class DPMSolverScheduler(_PlanBuilder):
         if solver_order not in (1, 2, 3):
             raise ValueError(f"solver_order must be 1-3, got {solver_order}")
         self.solver_order = int(solver_order)
-        self.algorithm_type = algorithm_type
-        self.solver_type = solver_type
         self.final_sigmas_type = final_sigmas_type
         self.lower_order_final = bool(lower_order_final)
         self.euler_at_final = bool(euler_at_final)
         self.use_karras_sigmas = bool(use_karras_sigmas)
 
+    @staticmethod
+    def _rows(schedule, ladder, positions, **kw):
+        raise NotImplementedError
+
     def _kw(self):
         return dict(
             solver_order=self.solver_order,
-            algorithm_type=self.algorithm_type,
-            solver_type=self.solver_type,
             final_sigmas_type=self.final_sigmas_type,
             prediction_type=self.config.prediction_type,
             lower_order_final=self.lower_order_final,
@@ -258,11 +260,14 @@ class DPMSolverScheduler(_PlanBuilder):
         # Re-simulate from the start row (empty history -> order warm-up),
         # exactly what a freshly-seeded multistep scheduler would do.
         ladder = self._ladder(num_steps)
-        rows = dpm_rows(self.schedule, ladder, range(start_index, num_steps), **self._kw())
+        rows = self._rows(self.schedule, ladder, range(start_index, num_steps), **self._kw())
         kar = "-karras" if self.use_karras_sigmas else ""
         sfx = f"[{start_index}:]" if start_index else ""
-        return stack_rows(rows, name=f"dpm{self.solver_order}{kar}(n={num_steps}){sfx}",
-                          hist_depth=self.solver_order)
+        return stack_rows(
+            rows,
+            name=f"{self.PLAN_PREFIX}{self.solver_order}{kar}(n={num_steps}){sfx}",
+            hist_depth=self.solver_order,
+        )
 
     def noised_latents(self, z, noise, num_steps: int, start_index: int):
         ladder = self._ladder(num_steps)
@@ -277,11 +282,11 @@ class DPMSolverScheduler(_PlanBuilder):
 
     def transition_rows(self, ts, num_steps, executed, tag=""):
         ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
-        return dpm_rows(self.schedule, ladder, list(executed), tag=tag, **self._kw())
+        return self._rows(self.schedule, ladder, list(executed), tag=tag, **self._kw())
 
     def transition_rows_from_schedule(self, ts, start, tag=""):
         ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
-        return dpm_rows(
+        return self._rows(
             self.schedule, ladder, range(start, len(ts)), tag=tag, **self._kw()
         )
 
@@ -298,8 +303,8 @@ class DPMSolverScheduler(_PlanBuilder):
         # History availability: every executed step pushes into the shared
         # ring, so at the k-th listed position there are >= k prior entries;
         # simulate_orders already caps the order at k+1 via lower_order_nums.
-        kw = self._kw()
-        return dpm_rows(self.schedule, ladder, positions, orders=orders, tag=tag, **kw)
+        return self._rows(self.schedule, ladder, positions, orders=orders, tag=tag,
+                          **self._kw())
 
     def skip_rows(self, num_steps, executed, tag=""):
         ts = self.timesteps(num_steps)
@@ -307,112 +312,59 @@ class DPMSolverScheduler(_PlanBuilder):
         first = executed[0]
         positions = [first + k for k in range(len(executed))]
         unet_ts = [int(ts[i]) for i in executed]
-        return dpm_rows(
+        return self._rows(
             self.schedule, ladder, positions, unet_timesteps=unet_ts, tag=tag, **self._kw()
         )
 
 
-@schedulers_registry.add_to_registry("deis_scheduler")
-class DEISScheduler(_PlanBuilder):
-    """DEIS logrho multistep (beyond-reference; schedulers/deis.py)."""
-
-    NAME = "deis"
+@schedulers_registry.add_to_registry("dpm_solver_scheduler")
+class DPMSolverScheduler(_MultistepLadderScheduler):
+    NAME = "dpm_solver"
+    PLAN_PREFIX = "dpm"
 
     def __init__(
         self,
         schedule_config=None,
         prediction_type=None,
         solver_order: int = 2,
+        algorithm_type: str = "dpmsolver++",
+        solver_type: str = "midpoint",
         final_sigmas_type: str = "zero",
         lower_order_final: bool = True,
         euler_at_final: bool = False,
         use_karras_sigmas: bool = False,
     ):
-        super().__init__(schedule_config, prediction_type)
-        if solver_order not in (1, 2, 3):
-            raise ValueError(f"solver_order must be 1-3, got {solver_order}")
-        self.solver_order = int(solver_order)
-        self.final_sigmas_type = final_sigmas_type
-        self.lower_order_final = bool(lower_order_final)
-        self.euler_at_final = bool(euler_at_final)
-        self.use_karras_sigmas = bool(use_karras_sigmas)
+        super().__init__(
+            schedule_config, prediction_type,
+            solver_order=solver_order, final_sigmas_type=final_sigmas_type,
+            lower_order_final=lower_order_final, euler_at_final=euler_at_final,
+            use_karras_sigmas=use_karras_sigmas,
+        )
+        self.algorithm_type = algorithm_type
+        self.solver_type = solver_type
+
+    _rows = staticmethod(dpm_rows)
 
     def _kw(self):
-        return dict(
-            solver_order=self.solver_order,
-            final_sigmas_type=self.final_sigmas_type,
-            prediction_type=self.config.prediction_type,
-            lower_order_final=self.lower_order_final,
-            euler_at_final=self.euler_at_final,
-        )
+        kw = super()._kw()
+        kw.update(algorithm_type=self.algorithm_type, solver_type=self.solver_type)
+        return kw
 
-    def _ladder(self, num_steps: int):
-        if self.use_karras_sigmas:
-            return make_karras_ladder(self.schedule, num_steps, self.final_sigmas_type)
-        return make_ladder(self.schedule, self.timesteps(num_steps), self.final_sigmas_type)
 
-    def build_plan(self, num_steps: int) -> SamplePlan:
-        return self.tail_plan(num_steps, 0)
+@schedulers_registry.add_to_registry("deis_scheduler")
+class DEISScheduler(_MultistepLadderScheduler):
+    """DEIS logrho multistep (beyond-reference; schedulers/deis.py).
+    Entirely the shared multistep-ladder body — only the row expansion
+    differs from DPM."""
 
-    def tail_plan(self, num_steps: int, start_index: int) -> SamplePlan:
+    NAME = "deis"
+    PLAN_PREFIX = "deis"
+
+    @staticmethod
+    def _rows(schedule, ladder, positions, **kw):
         from sonicdiffusionbayeslab_tpu.schedulers.deis import deis_rows
 
-        ladder = self._ladder(num_steps)
-        rows = deis_rows(self.schedule, ladder, range(start_index, num_steps), **self._kw())
-        kar = "-karras" if self.use_karras_sigmas else ""
-        sfx = f"[{start_index}:]" if start_index else ""
-        return stack_rows(rows, name=f"deis{self.solver_order}{kar}(n={num_steps}){sfx}",
-                          hist_depth=self.solver_order)
-
-    def noised_latents(self, z, noise, num_steps: int, start_index: int):
-        ladder = self._ladder(num_steps)
-        a, st = float(ladder.alpha[start_index]), float(ladder.sigma_t[start_index])
-        return a * z + st * noise
-
-    def blend_schedule(self, num_steps: int, start_index: int = 0):
-        ladder = self._ladder(num_steps)
-        idx = np.arange(start_index + 1, num_steps + 1)
-        return (np.asarray(ladder.alpha[idx], np.float32),
-                np.asarray(ladder.sigma_t[idx], np.float32))
-
-    def transition_rows(self, ts, num_steps, executed, tag=""):
-        from sonicdiffusionbayeslab_tpu.schedulers.deis import deis_rows
-
-        ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
-        return deis_rows(self.schedule, ladder, list(executed), tag=tag, **self._kw())
-
-    def transition_rows_from_schedule(self, ts, start, tag=""):
-        from sonicdiffusionbayeslab_tpu.schedulers.deis import deis_rows
-
-        ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
-        return deis_rows(self.schedule, ladder, range(start, len(ts)), tag=tag, **self._kw())
-
-    def ladder_rows(self, ts_exec, positions, tag=""):
-        from sonicdiffusionbayeslab_tpu.schedulers.deis import deis_rows
-
-        ladder = make_ladder(self.schedule, ts_exec, self.final_sigmas_type)
-        orders = simulate_orders(
-            positions,
-            len(ts_exec),
-            self.solver_order,
-            lower_order_final=self.lower_order_final,
-            euler_at_final=self.euler_at_final,
-            final_sigmas_type=self.final_sigmas_type,
-        )
-        return deis_rows(self.schedule, ladder, positions, orders=orders, tag=tag,
-                         **self._kw())
-
-    def skip_rows(self, num_steps, executed, tag=""):
-        from sonicdiffusionbayeslab_tpu.schedulers.deis import deis_rows
-
-        ts = self.timesteps(num_steps)
-        ladder = make_ladder(self.schedule, ts, self.final_sigmas_type)
-        first = executed[0]
-        positions = [first + k for k in range(len(executed))]
-        unet_ts = [int(ts[i]) for i in executed]
-        return deis_rows(
-            self.schedule, ladder, positions, unet_timesteps=unet_ts, tag=tag, **self._kw()
-        )
+        return deis_rows(schedule, ladder, positions, **kw)
 
 
 @schedulers_registry.add_to_registry("lcm_scheduler")
