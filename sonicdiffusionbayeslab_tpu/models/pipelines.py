@@ -39,6 +39,12 @@ class StableDiffusionModel:
         seed: int = 0,
         lora: str = None,  # consumed by ConsistencyModelMethod.setup_model
         variant: str = "auto",  # sd15 | sd21 | auto (snapshot/name detection)
+        # Multi-chip sampling: sizes of the ('data','seq','model') mesh axes.
+        # 0/1 everywhere (default) = single device. With a mesh, params are
+        # placed by the TP rules and every call shards batch + latents.
+        mesh_data: int = 0,
+        mesh_seq: int = 1,
+        mesh_model: int = 1,
     ):
         self.lora = lora
         self.pretrained_model = pretrained_model
@@ -47,8 +53,19 @@ class StableDiffusionModel:
         self.variant = self._resolve_variant(variant, pretrained_model)
         dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self.engine = self._make_engine(dt, tiny)
+        self.mesh = None
+        if int(mesh_data) > 0 and int(mesh_data) * int(mesh_seq) * int(mesh_model) > 1:
+            from sonicdiffusionbayeslab_tpu.parallel import make_mesh
+
+            self.mesh = make_mesh(
+                n_data=int(mesh_data), n_model=int(mesh_model), n_seq=int(mesh_seq)
+            )
         self.latent_hw = self.image_size // 8 if not tiny else 8
         self.params = self._load_params(pretrained_model, seed)
+        if self.mesh is not None:
+            from sonicdiffusionbayeslab_tpu.parallel import shard_params
+
+            self.params = shard_params(self.params, self.mesh)
         tok_dir = Path(pretrained_model) / "tokenizer" if Path(pretrained_model).exists() else None
         self.tokenizer = load_tokenizer(
             str(tok_dir) if tok_dir else None,
@@ -207,6 +224,7 @@ class StableDiffusionModel:
             decode=output_type != "latent",
             init_latents=init_latents,
             blend=blend,
+            mesh=self.mesh,
             **self._extra_sample_kwargs(len(prompt)),
         )
         images = np.asarray(out.images) if out.images is not None else np.asarray(out.latents)
@@ -275,9 +293,13 @@ class StableDiffusionXLModel(StableDiffusionModel):
         dtype: str = "bfloat16",
         seed: int = 0,
         lora: str = None,
+        mesh_data: int = 0,
+        mesh_seq: int = 1,
+        mesh_model: int = 1,
     ):
         super().__init__(pretrained_model=pretrained_model, image_size=image_size,
-                         tiny=tiny, dtype=dtype, seed=seed, lora=lora)
+                         tiny=tiny, dtype=dtype, seed=seed, lora=lora,
+                         mesh_data=mesh_data, mesh_seq=mesh_seq, mesh_model=mesh_model)
 
     def _make_engine(self, dt, tiny: bool):
         from sonicdiffusionbayeslab_tpu.models.sampler import SDXLEngine, SDXLTextConfigs
@@ -400,11 +422,15 @@ class StableDiffusionControlNetModel(StableDiffusionModel):
         variant: str = "auto",
         controlnet: str = None,  # local diffusers ControlNet snapshot dir
         controlnet_scale: float = 1.0,
+        mesh_data: int = 0,
+        mesh_seq: int = 1,
+        mesh_model: int = 1,
     ):
         self.controlnet_path = controlnet
         self.controlnet_scale = float(controlnet_scale)
         super().__init__(pretrained_model=pretrained_model, image_size=image_size,
-                         tiny=tiny, dtype=dtype, seed=seed, lora=lora, variant=variant)
+                         tiny=tiny, dtype=dtype, seed=seed, lora=lora, variant=variant,
+                         mesh_data=mesh_data, mesh_seq=mesh_seq, mesh_model=mesh_model)
 
     def _post_init(self) -> None:
         if self.controlnet_path and Path(self.controlnet_path).exists():

@@ -133,6 +133,10 @@ def main() -> None:
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--max_batch", type=int, default=8)
     parser.add_argument("--max_wait_ms", type=float, default=25.0)
+    parser.add_argument("--mesh_data", type=int, default=0,
+                        help="data-parallel mesh axis (0 = single device)")
+    parser.add_argument("--mesh_seq", type=int, default=1)
+    parser.add_argument("--mesh_model", type=int, default=1)
     args = parser.parse_args()
 
     enable_cache()
@@ -141,6 +145,9 @@ def main() -> None:
     mcfg = dict(cfg.model)
     name = mcfg.pop("model_name")
     mcfg.setdefault("image_size", cfg.dataset.get("image_size", 512))
+    if args.mesh_data:
+        mcfg.update(mesh_data=args.mesh_data, mesh_seq=args.mesh_seq,
+                    mesh_model=args.mesh_model)
     pipe = models_registry[name](**mcfg)
     sname = cfg.get("scheduler", {}).get("scheduler_name", "dpm_solver_scheduler")
     # Scheduler kwargs flow from experiment_params exactly like the

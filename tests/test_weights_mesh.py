@@ -298,3 +298,25 @@ def test_fused_qkv_conversion_and_lora_match_separate(engine, params, monkeypatc
         merged_fused["down_0_attn_0"]["block_0"]["attn1"]["to_qkv"]["kernel"][:, :d_out],
         np.asarray(fused["down_0_attn_0"]["block_0"]["attn1"]["to_qkv"]["kernel"])[:, :d_out],
     )
+
+
+def test_pipeline_level_mesh_matches_single_device():
+    """mesh_data in the MODEL CONFIG section runs the whole pipeline
+    (params sharded at load, every call batch-sharded) and matches the
+    single-device pipeline bit-for-bit on the same seed."""
+    from sonicdiffusionbayeslab_tpu.registry import load_all_plugins, models_registry
+    from sonicdiffusionbayeslab_tpu.schedulers import DPMSolverScheduler
+
+    load_all_plugins()
+    kw = dict(pretrained_model="x", tiny=True, image_size=64, dtype="float32")
+    single = models_registry["stable_diffusion_model"](**kw)
+    single.scheduler = DPMSolverScheduler(solver_order=2)
+    meshy = models_registry["stable_diffusion_model"](**kw, mesh_data=8)
+    meshy.scheduler = DPMSolverScheduler(solver_order=2)
+    assert meshy.mesh is not None and meshy.mesh.shape["data"] == 8
+
+    prompts = [f"prompt {i}" for i in range(8)]
+    key = jax.random.PRNGKey(29)
+    img_a, _, _ = single(prompts, num_inference_steps=3, guidance_scale=5.0, key=key)
+    img_b, _, _ = meshy(prompts, num_inference_steps=3, guidance_scale=5.0, key=key)
+    np.testing.assert_allclose(img_a, img_b, rtol=2e-4, atol=2e-4)
