@@ -157,7 +157,8 @@ class Attention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, mask=None) -> jax.Array:
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None, mask=None,
+                 ip_context: Optional[jax.Array] = None, ip_scale=1.0) -> jax.Array:
         import os
 
         ctx = x if context is None else context
@@ -184,6 +185,15 @@ class Attention(nn.Module):
 
         o = dot_product_attention(q, k, v, mask=mask)
         o = o.reshape(B, N, inner)
+        if ip_context is not None:
+            # IP-Adapter decoupled cross-attention (Ye et al. 2023): a second
+            # attention over the image-prompt tokens with its OWN k/v
+            # projections, sharing q, summed (scaled) BEFORE to_out.
+            P = ip_context.shape[1]
+            k_ip = dense(inner, "to_k_ip")(ip_context).reshape(B, P, self.num_heads, self.head_dim)
+            v_ip = dense(inner, "to_v_ip")(ip_context).reshape(B, P, self.num_heads, self.head_dim)
+            o_ip = dot_product_attention(q, k_ip, v_ip)
+            o = o + jnp.asarray(ip_scale, o.dtype) * o_ip.reshape(B, N, inner)
         return nn.Dense(
             self.out_dim or x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype, name="to_out"
         )(o)
@@ -215,14 +225,16 @@ class TransformerBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, context: jax.Array,
+                 ip_context: Optional[jax.Array] = None, ip_scale=1.0) -> jax.Array:
         # torch nn.LayerNorm eps (diffusers BasicTransformerBlock) = 1e-5.
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name)  # noqa: E731
         attn = lambda name: Attention(  # noqa: E731
             self.num_heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         x = x + attn("attn1")(ln("norm1")(x))
-        x = x + attn("attn2")(ln("norm2")(x), context=context)
+        x = x + attn("attn2")(ln("norm2")(x), context=context,
+                              ip_context=ip_context, ip_scale=ip_scale)
         x = x + GEGLUFeedForward(
             x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype, name="ff"
         )(ln("norm3")(x))
@@ -239,7 +251,8 @@ class SpatialTransformer(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, context: jax.Array,
+                 ip_context: Optional[jax.Array] = None, ip_scale=1.0) -> jax.Array:
         B, H, W, C = x.shape
         residual = x
         # diffusers Transformer2DModel's input GroupNorm uses eps=1e-6.
@@ -250,7 +263,7 @@ class SpatialTransformer(nn.Module):
             h = TransformerBlock(
                 self.num_heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"block_{i}",
-            )(h, context)
+            )(h, context, ip_context=ip_context, ip_scale=ip_scale)
         h = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
         return h.reshape(B, H, W, C) + residual
 

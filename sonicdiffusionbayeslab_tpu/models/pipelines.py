@@ -45,6 +45,11 @@ class StableDiffusionModel:
         mesh_data: int = 0,
         mesh_seq: int = 1,
         mesh_model: int = 1,
+        # IP-Adapter checkpoint (.bin) for image-prompt conditioning; calls
+        # then accept ip_image_embeds=/ip_scale=. A non-existent path in the
+        # offline env random-inits the adapter (random base weights anyway).
+        ip_adapter: str = None,
+        ip_scale: float = 1.0,
     ):
         self.lora = lora
         self.pretrained_model = pretrained_model
@@ -62,6 +67,29 @@ class StableDiffusionModel:
             )
         self.latent_hw = self.image_size // 8 if not tiny else 8
         self.params = self._load_params(pretrained_model, seed)
+        self.ip_scale = float(ip_scale)
+        self.has_ip = ip_adapter is not None
+        if self.has_ip:
+            from sonicdiffusionbayeslab_tpu.models.ip_adapter import (
+                extract_ip_params,
+                load_ip_adapter,
+                merge_ip_params,
+            )
+
+            self.params = dict(self.params)
+            if Path(ip_adapter).exists():
+                loaded = load_ip_adapter(ip_adapter, self.engine)
+                self.params["unet"] = merge_ip_params(self.params["unet"], loaded["unet_ip"])
+                self.params["image_proj"] = loaded["image_proj"]
+                self.ip_embed_dim = loaded["embed_dim"]
+            else:
+                rand = self.engine.init_ip_params(latent_hw=self.latent_hw)
+                self.params["unet"] = merge_ip_params(
+                    self.params["unet"],
+                    extract_ip_params(rand["unet"], self.engine.unet_config),
+                )
+                self.params["image_proj"] = rand["image_proj"]
+                self.ip_embed_dim = 1024
         if self.mesh is not None:
             from sonicdiffusionbayeslab_tpu.parallel import shard_params
 
@@ -162,6 +190,8 @@ class StableDiffusionModel:
         init_image: Optional[np.ndarray] = None,  # img2img: [B,H,W,3] in [0,1]
         strength: float = 0.8,
         mask_image: Optional[np.ndarray] = None,  # inpaint: [B,H,W(,1)], 1=regenerate
+        ip_image_embeds: Optional[np.ndarray] = None,  # IP-Adapter [B, E]
+        ip_scale: Optional[float] = None,
         **plan_kw,
     ):
         """Returns (images [B,H,W,3] in [0,1], execution_time, x0_images)."""
@@ -207,6 +237,15 @@ class StableDiffusionModel:
         if guidance_scale > 1.0:
             neg = self._encode(list(negative_prompt) if negative_prompt else [""] * len(prompt))
 
+        ip_arg = None
+        if ip_image_embeds is not None:
+            if not getattr(self, "has_ip", False):
+                raise ValueError("pipeline built without ip_adapter; pass ip_adapter=")
+            ip_arg = {
+                "image_embeds": jnp.asarray(ip_image_embeds, jnp.float32),
+                "scale": self.ip_scale if ip_scale is None else float(ip_scale),
+            }
+
         cache_plan = self.cache_plan_fn(plan.num_steps) if self.cache_plan_fn else None
         out = self.engine.sample(
             self.params,
@@ -225,6 +264,7 @@ class StableDiffusionModel:
             init_latents=init_latents,
             blend=blend,
             mesh=self.mesh,
+            ip_adapter=ip_arg,
             **self._extra_sample_kwargs(len(prompt)),
         )
         images = np.asarray(out.images) if out.images is not None else np.asarray(out.latents)

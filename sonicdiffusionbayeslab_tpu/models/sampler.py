@@ -147,6 +147,41 @@ class StableDiffusionEngine:
             1.0, added,
         )["params"]
 
+    def init_ip_params(self, seed: int = 0, latent_hw: int = 64,
+                       embed_dim: int = 1024, num_tokens: int = 4) -> Dict[str, Any]:
+        """Random-init IP-Adapter trees: a UNet tree INCLUDING the decoupled
+        to_k_ip/to_v_ip projections plus the image-projection head
+        (models/ip_adapter.py; real checkpoints load via load_ip_adapter +
+        merge_ip_params)."""
+        from sonicdiffusionbayeslab_tpu.models.ip_adapter import ImageProjection
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed ^ 0x1BAD), 2)
+        lat = jnp.zeros((1, latent_hw, latent_hw, self.unet_config.in_channels))
+        ctx = jnp.zeros((1, self.text_config.max_length, self.unet_config.cross_attention_dim))
+        ip_ctx = jnp.zeros((1, num_tokens, self.unet_config.cross_attention_dim))
+        unet_tree = self.unet.init(k1, lat, jnp.zeros((1,)), ctx, None,
+                                   ip_context=ip_ctx)["params"]
+        proj = ImageProjection(
+            self.unet_config.cross_attention_dim, num_tokens,
+            dtype=self.unet.dtype, param_dtype=self.unet.param_dtype,
+        ).init(k2, jnp.zeros((1, embed_dim)))["params"]
+        return {"unet": unet_tree, "image_proj": proj}
+
+    @functools.lru_cache(maxsize=8)
+    def _image_proj_fn(self, num_tokens: int):
+        from sonicdiffusionbayeslab_tpu.models.ip_adapter import ImageProjection
+
+        mod = ImageProjection(
+            self.unet_config.cross_attention_dim, num_tokens,
+            dtype=self.unet.dtype, param_dtype=self.unet.param_dtype,
+        )
+
+        @jax.jit
+        def project(proj_params, image_embeds):
+            return mod.apply({"params": proj_params}, image_embeds)
+
+        return project
+
     # ------------------------------------------------------------- encode
     @functools.cached_property
     def encode_fn(self):
@@ -200,6 +235,7 @@ class StableDiffusionEngine:
         x0_count: int = 1,
         has_added: bool = False,  # SDXL text_time conditioning present
         use_control: bool = False,  # ControlNet residual injection
+        use_ip: bool = False,  # IP-Adapter decoupled cross-attention
     ):
         unet = self.unet
         controlnet = self.controlnet
@@ -207,7 +243,8 @@ class StableDiffusionEngine:
         def denoise(unet_params, latents0, embeds, plan_xs, guidance, rescale, key,
                     blend_mask=None, blend_source=None, blend_noise=None,
                     added_text=None, added_ids=None,
-                    control_params=None, control_hint=None, control_scale=None):
+                    control_params=None, control_hint=None, control_scale=None,
+                    ip_tokens=None, ip_scale=None):
             """latents0 [B,h,w,4] fp32; embeds [2B or B, T, C]; plan_xs dict of [L,...].
 
             Inpainting (use_blend): after each scheduler step the kept
@@ -218,6 +255,7 @@ class StableDiffusionEngine:
             added = (
                 {"text_embeds": added_text, "time_ids": added_ids} if has_added else None
             )
+            ip_kw = {"ip_context": ip_tokens, "ip_scale": ip_scale} if use_ip else {}
 
             def body(carry, xs):
                 sched: SchedulerCarry = carry["sched"]
@@ -232,13 +270,13 @@ class StableDiffusionEngine:
                     def full(c):
                         return unet.apply(
                             {"params": unet_params}, lat_in, tb, embeds, added,
-                            return_cache=True, cache_branch_id=cache_branch,
+                            return_cache=True, cache_branch_id=cache_branch, **ip_kw,
                         )
 
                     def cached(c):
                         return (
                             unet.apply({"params": unet_params}, lat_in, tb, embeds, added,
-                                       cache=c, cache_branch_id=cache_branch),
+                                       cache=c, cache_branch_id=cache_branch, **ip_kw),
                             c,
                         )
 
@@ -254,11 +292,12 @@ class StableDiffusionEngine:
                     )
                     noise_pred = unet.apply(
                         {"params": unet_params}, lat_in, tb, embeds, added,
-                        control_residuals=residuals,
+                        control_residuals=residuals, **ip_kw,
                     )
                     new_cache = None
                 else:
-                    noise_pred = unet.apply({"params": unet_params}, lat_in, tb, embeds, added)
+                    noise_pred = unet.apply({"params": unet_params}, lat_in, tb, embeds,
+                                            added, **ip_kw)
                     new_cache = None
 
                 noise_pred = noise_pred.astype(jnp.float32)
@@ -344,6 +383,10 @@ class StableDiffusionEngine:
         # ControlNet: {"params": tree, "image": [B, 8h, 8w, 3] in [0,1],
         # "scale": float (conditioning_scale, default 1.0)}.
         control: Optional[Dict[str, Any]] = None,
+        # IP-Adapter: {"image_embeds": [B, E] CLIP image embedding,
+        # "scale": float}. params must contain "image_proj" and a UNet tree
+        # with the to_k_ip/to_v_ip projections merged (merge_ip_params).
+        ip_adapter: Optional[Dict[str, Any]] = None,
     ) -> SampleOutput:
         """Generate images for one batch. Returns reference-contract output:
         (images, execution_time of the denoise loop only, optional x0 decodes)
@@ -419,6 +462,27 @@ class StableDiffusionEngine:
                 control_scale=jnp.float32(control.get("scale", 1.0)),
             )
 
+        ip_args = {}
+        if ip_adapter is not None:
+            if "image_proj" not in params:
+                raise ValueError("ip_adapter needs params['image_proj'] (load_ip_adapter)")
+            embeds_img = jnp.asarray(ip_adapter["image_embeds"], jnp.float32)
+            if embeds_img.shape[0] != B:
+                raise ValueError(f"image_embeds batch {embeds_img.shape[0]} != {B}")
+            proj_kernel = params["image_proj"]["proj"]["kernel"]
+            num_tokens = int(proj_kernel.shape[1]) // self.unet_config.cross_attention_dim
+            project = self._image_proj_fn(num_tokens)
+            tokens = project(params["image_proj"], embeds_img)
+            if do_cfg:
+                # Unconditional branch conditions on the ZERO image embedding
+                # (IP-Adapter convention), matching the [neg|pos] concat.
+                tokens_u = project(params["image_proj"], jnp.zeros_like(embeds_img))
+                tokens = jnp.concatenate([tokens_u, tokens])
+            ip_args = dict(
+                ip_tokens=tokens,
+                ip_scale=jnp.float32(ip_adapter.get("scale", 1.0)),
+            )
+
         added_args = {}
         if added_cond is not None:
             pos = jnp.asarray(added_cond["text_embeds"])
@@ -446,6 +510,7 @@ class StableDiffusionEngine:
             B if x0_samples is None else max(1, min(int(x0_samples), B)),
             added_cond is not None,
             control is not None,
+            ip_adapter is not None,
         )
 
         step_key = jax.random.fold_in(key, 0x5EED)
@@ -462,6 +527,7 @@ class StableDiffusionEngine:
             **blend_args,
             **added_args,
             **control_args,
+            **ip_args,
         )
         latents = jax.block_until_ready(latents)
         # On async remote backends (axon tunnel) block_until_ready can return

@@ -167,6 +167,11 @@ class UNet2DCondition(nn.Module):
         # ControlNet residuals: (down: tuple aligned with the skip states,
         # mid: array added after the mid block) — models/controlnet.py.
         control_residuals: Optional[Tuple] = None,
+        # IP-Adapter image-prompt tokens [B, P, cross_attention_dim]
+        # (models/ip_adapter.py); every cross-attention gains decoupled
+        # to_k_ip/to_v_ip projections when present.
+        ip_context: Optional[jax.Array] = None,
+        ip_scale=1.0,
     ):
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -210,15 +215,18 @@ class UNet2DCondition(nn.Module):
         def res(ch, name):
             return ResnetBlock(ch, name=name, **kw)
 
+        ip_ctx = ip_context.astype(self.dtype) if ip_context is not None else None
+
         def xfmr(ch, name, lvl):
             heads = cfg.heads_at(lvl)
-            return SpatialTransformer(
+            m = SpatialTransformer(
                 heads,
                 ch // heads,
                 depth=cfg.depth_at(lvl),
                 name=name,
                 **kw,
             )
+            return lambda h, c: m(h, c, ip_context=ip_ctx, ip_scale=ip_scale)
 
         n_levels = len(cfg.block_out_channels)
         # DeepCache split (reference deep_cache.py:25-27, generalized to any
