@@ -109,6 +109,9 @@ class BaseMethod:
         self.clip_score_metric = build("clip_score") if "clip_score" in q else None
         self.image_reward_metric = build("image_reward") if "image_reward" in q else None
         self.fid_metric = build("fid") if "fid" in q else None
+        # Beyond-reference: the shipped aesthetic predictor as a real metric
+        # (the reference ships the model but never wires it, SURVEY §2.1).
+        self.aesthetic_metric = build("aesthetic_score") if "aesthetic_score" in q else None
         self.time_metric = metrics_registry["time_metric"]()
 
     def setup_loggers(self) -> None:
@@ -194,7 +197,8 @@ class BaseMethod:
         batch_size = self.config.inference.get("batch_size", 8)
         n = len(gen["prompts"])
 
-        for m in (self.clip_score_metric, self.image_reward_metric, self.fid_metric):
+        for m in (self.clip_score_metric, self.image_reward_metric, self.fid_metric,
+                  self.aesthetic_metric):
             if m is not None:
                 m.reset()
 
@@ -204,6 +208,8 @@ class BaseMethod:
             imgs = images01[sl]
             if self.clip_score_metric:
                 self.clip_score_metric.update(imgs, prompts)
+            if self.aesthetic_metric:
+                self.aesthetic_metric.update(imgs)
             if self.has_real_images and (self.fid_metric or self.image_reward_metric):
                 real = np.stack([self.dataset.load_image(f) for f in gen["files"][sl]])
                 if self.fid_metric:
@@ -219,6 +225,8 @@ class BaseMethod:
             row["fid"] = self.fid_metric.compute()
         if self.has_real_images and self.image_reward_metric:
             row["image_reward"] = self.image_reward_metric.compute()
+        if self.aesthetic_metric:
+            row["aesthetic_score"] = self.aesthetic_metric.compute()
         for k, v in row.items():
             self.metric_dict.setdefault(k, []).append(v)
         self.logger.log_metrics({f"metrics/{k}": v for k, v in row.items() if k != "exp"},

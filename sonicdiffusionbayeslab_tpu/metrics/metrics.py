@@ -64,7 +64,8 @@ class _ClipBackend:
     """Shared CLIP dual-encoder + jitted scoring fns (lazy singleton per
     (config, checkpoint) so clip_score / fid / image_reward reuse it)."""
 
-    def __init__(self, model_name_or_path: Optional[str] = None, tiny: bool = False):
+    def __init__(self, model_name_or_path: Optional[str] = None, tiny: bool = False,
+                 geometry: str = "b16"):
         import jax
 
         from sonicdiffusionbayeslab_tpu.models.clip_text import CLIPTextConfig
@@ -79,6 +80,10 @@ class _ClipBackend:
             vcfg = CLIPVisionConfig.tiny()
             tcfg = CLIPTextConfig.tiny()
             proj = 16
+        elif geometry == "l14":
+            # openai/clip-vit-large-patch14: the aesthetic predictor's
+            # embedding space (its text tower is SD-1.5's, projection 768).
+            vcfg, tcfg, proj = CLIPVisionConfig.vit_l14(), CLIPTextConfig.sd15(), 768
         else:
             vcfg, tcfg, proj = CLIPVisionConfig(), CLIP_B16_TEXT, 512
         self.model = CLIPDualEncoder(vcfg, tcfg, projection_dim=proj)
@@ -126,8 +131,9 @@ class _ClipBackend:
 
 
 @functools.lru_cache(maxsize=4)
-def _clip_backend(model_name_or_path: Optional[str], tiny: bool) -> _ClipBackend:
-    return _ClipBackend(model_name_or_path, tiny)
+def _clip_backend(model_name_or_path: Optional[str], tiny: bool,
+                  geometry: str = "b16") -> _ClipBackend:
+    return _ClipBackend(model_name_or_path, tiny, geometry)
 
 
 @metrics_registry.add_to_registry("clip_score")
@@ -219,6 +225,55 @@ class RewardModel(Metric):
 
     def reset(self) -> None:
         self.wins = 0
+        self.n = 0
+
+
+@metrics_registry.add_to_registry("aesthetic_score")
+class AestheticScoreMetric(Metric):
+    """Mean LAION aesthetic score of the generated images.
+
+    The reference SHIPS this model (aethetic_score_model.pth + the MLP
+    definition, src/metrics/aethetic_score_model.py:8-54) but never imports
+    it from any experiment (SURVEY §2.1) — here it is a first-class
+    registered quality metric: CLIP ViT-L/14 image embeddings (the space
+    the LAION predictor was trained on) -> normalized -> MLP -> mean.
+    """
+
+    def __init__(
+        self,
+        checkpoint: str = "data/models/aethetic_score_model.pth",
+        clip_model_name_or_path: Optional[str] = None,
+        tiny: bool = False,
+    ):
+        import logging
+        from pathlib import Path
+
+        from sonicdiffusionbayeslab_tpu.metrics.aesthetic import AestheticScorer
+
+        self.backend = _clip_backend(clip_model_name_or_path, tiny, "l14")
+        ckpt = checkpoint if (checkpoint and Path(checkpoint).exists() and not tiny) else None
+        if checkpoint and ckpt is None and not tiny:
+            logging.getLogger(__name__).warning(
+                "aesthetic_score: checkpoint %s not found — RANDOM-INIT MLP "
+                "(scores are not comparable to the LAION predictor)", checkpoint
+            )
+        self.scorer = AestheticScorer(ckpt, input_size=16 if tiny else 768)
+        self.reset()
+
+    def update(self, images: np.ndarray, prompts: Sequence[str] = ()) -> None:
+        """images: [N, H, W, 3] float in [0, 1] (prompts unused)."""
+        emb = self.backend.image_features(np.asarray(images))
+        s = self.scorer(emb)
+        self.score_sum += float(s.sum())
+        self.n += len(s)
+
+    def compute(self) -> float:
+        s = all_sum_scalar(self.score_sum)
+        n = all_sum_scalar(self.n)
+        return s / max(n, 1)
+
+    def reset(self) -> None:
+        self.score_sum = 0.0
         self.n = 0
 
 

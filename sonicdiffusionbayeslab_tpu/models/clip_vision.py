@@ -35,6 +35,13 @@ class CLIPVisionConfig:
         return cls(image_size=32, patch_size=8, hidden_size=32, num_layers=2,
                    num_heads=2, intermediate_size=64)
 
+    @classmethod
+    def vit_l14(cls) -> "CLIPVisionConfig":
+        """openai/clip-vit-large-patch14 vision tower (the embedding space
+        the LAION aesthetic predictor was trained on; projection 768)."""
+        return cls(image_size=224, patch_size=14, hidden_size=1024,
+                   num_layers=24, num_heads=16, intermediate_size=4096)
+
 
 # openai/clip-vit-base-patch16 text tower differs from SD's ViT-L text tower.
 CLIP_B16_TEXT = CLIPTextConfig(hidden_size=512, num_layers=12, num_heads=8,

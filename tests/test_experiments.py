@@ -380,6 +380,32 @@ def test_reward_model_fallback_warns(monkeypatch, caplog):
     assert any("NOT comparable" in r.message for r in caplog.records)
 
 
+def test_aesthetic_metric_registered_e2e(tmp_path):
+    """aesthetic_score as a registered quality metric in a sweep (the
+    reference ships the model but never wires it — SURVEY §2.1)."""
+    import yaml
+
+    from sonicdiffusionbayeslab_tpu.cli import run
+
+    cfg = {
+        "experiment_name": "t",
+        "experiment": {"method": "ddim", "seed": 29},
+        "model": {"model_name": "stable_diffusion_model", "pretrained_model": "x",
+                  "tiny": True, "image_size": 64},
+        "scheduler": {"scheduler_name": "ddim_scheduler"},
+        "dataset": {"prompts": "data/dataset/prompts_sample.json", "image_size": 64},
+        "quality_metrics": {"clip_score": {"model_name_or_path": "none"},
+                            "aesthetic_score": {}},
+        "logger": {"wandb_enable": False, "log_images_step": 1, "save": False},
+        "inference": {"batch_size": 2, "batch_count": 1},
+        "experiment_params": {"num_inference_steps": [3]},
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    metrics = run(str(p))
+    assert np.isfinite(metrics["aesthetic_score"][0])
+
+
 def test_aesthetic_scorer_real_checkpoint(monkeypatch):
     """The shipped reference-format Lightning checkpoint loads and scores in
     the LAION aesthetic range (reference data/models/aethetic_score_model.pth)."""
