@@ -192,11 +192,22 @@ class StableDiffusionModel:
         mask_image: Optional[np.ndarray] = None,  # inpaint: [B,H,W(,1)], 1=regenerate
         ip_image_embeds: Optional[np.ndarray] = None,  # IP-Adapter [B, E]
         ip_scale: Optional[float] = None,
+        height: Optional[int] = None,  # non-square generation (default:
+        width: Optional[int] = None,  # image_size x image_size)
         **plan_kw,
     ):
         """Returns (images [B,H,W,3] in [0,1], execution_time, x0_images)."""
         if key is None:
             key = jax.random.PRNGKey(0)
+        lat_hw = (self.latent_hw, self.latent_hw)
+        if height is not None or width is not None:
+            h = int(height or self.image_size)
+            w = int(width or self.image_size)
+            if h % 8 or w % 8:
+                raise ValueError(f"height/width must be multiples of 8, got {h}x{w}")
+            if init_image is not None:
+                raise ValueError("height/width override is text2img-only")
+            lat_hw = (h // 8, w // 8)
         if mask_image is not None and init_image is None:
             raise ValueError("mask_image requires init_image")
         init_latents = None
@@ -257,7 +268,7 @@ class StableDiffusionModel:
             guidance_scale=guidance_scale,
             guidance_rescale=self.guidance_rescale,
             cache_plan=cache_plan,
-            latent_hw=(self.latent_hw, self.latent_hw),
+            latent_hw=lat_hw,
             collect_x0=use_x0,
             x0_samples=x0_samples,
             decode=output_type != "latent",
@@ -493,7 +504,8 @@ class StableDiffusionControlNetModel(StableDiffusionModel):
         if control_image is None:
             raise ValueError("stable_diffusion_controlnet_model requires control_image")
         img = jnp.asarray(control_image, jnp.float32)
-        want_hw = (self.latent_hw * 8, self.latent_hw * 8)
+        want_hw = (int(kw.get("height") or self.image_size),
+                   int(kw.get("width") or self.image_size))
         if img.shape[1:3] != want_hw:
             img = jax.image.resize(
                 img, (img.shape[0],) + want_hw + (img.shape[-1],), "bilinear"

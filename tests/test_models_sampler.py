@@ -272,3 +272,25 @@ def test_compile_count_audit(engine, params):
     run(DPMSolverScheduler(solver_order=2).build_plan(4))
     run(DPMSolverScheduler(solver_order=2).build_plan(6))
     assert type(engine)._denoise_fn.cache_info().misses == 3
+
+
+def test_pipeline_nonsquare_generation():
+    """height/width call kwargs generate non-square images through the same
+    engine (the engine's latent_hw was always a tuple; this exposes it)."""
+    from sonicdiffusionbayeslab_tpu.registry import load_all_plugins, models_registry
+    from sonicdiffusionbayeslab_tpu.schedulers import EulerScheduler
+
+    load_all_plugins()
+    pipe = models_registry["stable_diffusion_model"](
+        pretrained_model="x", tiny=True, image_size=64, dtype="float32"
+    )
+    pipe.scheduler = EulerScheduler()
+    images, t, _ = pipe(["a cat"], num_inference_steps=2, guidance_scale=5.0,
+                        height=64, width=128)
+    # tiny VAE upsamples 2x from latents (64//8=8, 128//8=16 -> 16x32 px).
+    assert images.shape == (1, 16, 32, 3)
+    assert np.isfinite(images).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiples of 8"):
+        pipe(["a cat"], num_inference_steps=2, height=65)
