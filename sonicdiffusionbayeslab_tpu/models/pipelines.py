@@ -50,6 +50,10 @@ class StableDiffusionModel:
         # offline env random-inits the adapter (random base weights anyway).
         ip_adapter: str = None,
         ip_scale: float = 1.0,
+        # Opt-in (word:1.3) emphasis syntax (models/prompt_weighting.py).
+        # Off by default: reference-protocol captions may contain literal
+        # parentheses that must not become emphasis.
+        prompt_weighting: bool = False,
     ):
         self.lora = lora
         self.pretrained_model = pretrained_model
@@ -68,6 +72,7 @@ class StableDiffusionModel:
         self.latent_hw = self.image_size // 8 if not tiny else 8
         self.params = self._load_params(pretrained_model, seed)
         self.ip_scale = float(ip_scale)
+        self.prompt_weighting = bool(prompt_weighting)
         self.has_ip = ip_adapter is not None
         if self.has_ip:
             from sonicdiffusionbayeslab_tpu.models.ip_adapter import (
@@ -283,8 +288,22 @@ class StableDiffusionModel:
         return images, out.execution_time, x0
 
     def _encode(self, prompts: Sequence[str]) -> jax.Array:
-        ids = self.tokenizer(list(prompts))
-        return self.engine.encode_prompts(self.params, ids)
+        if not getattr(self, "prompt_weighting", False):
+            ids = self.tokenizer(list(prompts))
+            return self.engine.encode_prompts(self.params, ids)
+        from sonicdiffusionbayeslab_tpu.models.prompt_weighting import (
+            apply_prompt_weights,
+            batch_weighted_ids,
+        )
+
+        # (word:1.3) emphasis syntax -> per-token hidden-state scaling with
+        # mean renormalization; prompts with no syntax take an identical
+        # token path and skip the rescale.
+        ids, weights = batch_weighted_ids(self.tokenizer, list(prompts))
+        states = self.engine.encode_prompts(self.params, ids)
+        if np.any(weights != 1.0):
+            states = apply_prompt_weights(states, weights)
+        return states
 
     # Parity shims for device juggling in the reference sweeps
     # (e.g. ddim.py:31-33 model.to("cpu")): JAX manages placement; no-ops.
