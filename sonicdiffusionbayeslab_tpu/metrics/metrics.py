@@ -131,9 +131,16 @@ class _ClipBackend:
 
 
 @functools.lru_cache(maxsize=4)
+def _clip_backend_cached(model_name_or_path: Optional[str], tiny: bool,
+                         geometry: str) -> _ClipBackend:
+    return _ClipBackend(model_name_or_path, tiny, geometry)
+
+
 def _clip_backend(model_name_or_path: Optional[str], tiny: bool,
                   geometry: str = "b16") -> _ClipBackend:
-    return _ClipBackend(model_name_or_path, tiny, geometry)
+    # tiny ignores geometry — normalize the cache key so tiny sweeps with
+    # aesthetic_score + clip_score share one backend.
+    return _clip_backend_cached(model_name_or_path, tiny, "b16" if tiny else geometry)
 
 
 @metrics_registry.add_to_registry("clip_score")

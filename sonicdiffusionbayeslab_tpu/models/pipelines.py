@@ -63,11 +63,12 @@ class StableDiffusionModel:
         dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self.engine = self._make_engine(dt, tiny)
         self.mesh = None
-        if int(mesh_data) > 0 and int(mesh_data) * int(mesh_seq) * int(mesh_model) > 1:
+        n_data = int(mesh_data) or 1  # 0 = unset; TP/SP-only meshes still count
+        if n_data * int(mesh_seq) * int(mesh_model) > 1:
             from sonicdiffusionbayeslab_tpu.parallel import make_mesh
 
             self.mesh = make_mesh(
-                n_data=int(mesh_data), n_model=int(mesh_model), n_seq=int(mesh_seq)
+                n_data=n_data, n_model=int(mesh_model), n_seq=int(mesh_seq)
             )
         self.latent_hw = self.image_size // 8 if not tiny else 8
         self.params = self._load_params(pretrained_model, seed)
@@ -152,8 +153,9 @@ class StableDiffusionModel:
     def _post_init(self) -> None:
         """Subclass hook (extra tokenizers etc.)."""
 
-    def _extra_sample_kwargs(self, batch: int) -> Dict[str, Any]:
-        """Subclass hook: extra engine.sample kwargs (SDXL added_cond)."""
+    def _extra_sample_kwargs(self, batch: int, lat_hw) -> Dict[str, Any]:
+        """Subclass hook: extra engine.sample kwargs (SDXL added_cond).
+        ``lat_hw`` is the call's latent grid (height/width overrides)."""
         return {}
 
     def _load_params(self, pretrained_model: str, seed: int) -> Dict[str, Any]:
@@ -257,8 +259,14 @@ class StableDiffusionModel:
         if ip_image_embeds is not None:
             if not getattr(self, "has_ip", False):
                 raise ValueError("pipeline built without ip_adapter; pass ip_adapter=")
+            emb = jnp.asarray(ip_image_embeds, jnp.float32)
+            if emb.shape[-1] != self.ip_embed_dim:
+                raise ValueError(
+                    f"ip_image_embeds dim {emb.shape[-1]} != adapter's "
+                    f"embedding dim {self.ip_embed_dim}"
+                )
             ip_arg = {
-                "image_embeds": jnp.asarray(ip_image_embeds, jnp.float32),
+                "image_embeds": emb,
                 "scale": self.ip_scale if ip_scale is None else float(ip_scale),
             }
 
@@ -281,7 +289,7 @@ class StableDiffusionModel:
             blend=blend,
             mesh=self.mesh,
             ip_adapter=ip_arg,
-            **self._extra_sample_kwargs(len(prompt)),
+            **self._extra_sample_kwargs(len(prompt), lat_hw),
         )
         images = np.asarray(out.images) if out.images is not None else np.asarray(out.latents)
         x0 = np.asarray(out.x0_images) if out.x0_images is not None else None
@@ -366,7 +374,12 @@ class StableDiffusionXLModel(StableDiffusionModel):
         mesh_data: int = 0,
         mesh_seq: int = 1,
         mesh_model: int = 1,
+        prompt_weighting: bool = False,
     ):
+        if prompt_weighting:
+            # The dual-tower encode path would need weights aligned to BOTH
+            # tokenizers; explicit error beats silently ignoring the flag.
+            raise ValueError("prompt_weighting is not supported for the SDXL pipeline")
         super().__init__(pretrained_model=pretrained_model, image_size=image_size,
                          tiny=tiny, dtype=dtype, seed=seed, lora=lora,
                          mesh_data=mesh_data, mesh_seq=mesh_seq, mesh_model=mesh_model)
@@ -411,13 +424,15 @@ class StableDiffusionXLModel(StableDiffusionModel):
         self._pooled_queue.append(pooled)
         return ctx
 
-    def _extra_sample_kwargs(self, batch: int) -> Dict[str, Any]:
+    def _extra_sample_kwargs(self, batch: int, lat_hw) -> Dict[str, Any]:
         # __call__ encodes positive first, then (under CFG) negative.
         queue, self._pooled_queue = self._pooled_queue, []
-        size = float(self.image_size)
-        # time_ids = (orig_h, orig_w, crop_top, crop_left, target_h, target_w).
+        # time_ids = (orig_h, orig_w, crop_top, crop_left, target_h, target_w)
+        # — follows the call's latent grid so height/width overrides keep the
+        # micro-conditioning consistent (SDXL is trained to react to these).
+        h, w = float(lat_hw[0] * 8), float(lat_hw[1] * 8)
         time_ids = jnp.tile(
-            jnp.asarray([[size, size, 0.0, 0.0, size, size]], jnp.float32), (batch, 1)
+            jnp.asarray([[h, w, 0.0, 0.0, h, w]], jnp.float32), (batch, 1)
         )
         added = {"text_embeds": queue[0], "time_ids": time_ids}
         if len(queue) > 1:
@@ -495,12 +510,17 @@ class StableDiffusionControlNetModel(StableDiffusionModel):
         mesh_data: int = 0,
         mesh_seq: int = 1,
         mesh_model: int = 1,
+        ip_adapter: str = None,
+        ip_scale: float = 1.0,
+        prompt_weighting: bool = False,
     ):
         self.controlnet_path = controlnet
         self.controlnet_scale = float(controlnet_scale)
         super().__init__(pretrained_model=pretrained_model, image_size=image_size,
                          tiny=tiny, dtype=dtype, seed=seed, lora=lora, variant=variant,
-                         mesh_data=mesh_data, mesh_seq=mesh_seq, mesh_model=mesh_model)
+                         mesh_data=mesh_data, mesh_seq=mesh_seq, mesh_model=mesh_model,
+                         ip_adapter=ip_adapter, ip_scale=ip_scale,
+                         prompt_weighting=prompt_weighting)
 
     def _post_init(self) -> None:
         if self.controlnet_path and Path(self.controlnet_path).exists():
@@ -515,6 +535,13 @@ class StableDiffusionControlNetModel(StableDiffusionModel):
             self.controlnet_params = self.engine.init_controlnet_params(
                 seed=0, latent_hw=self.latent_hw
             )
+        if self.mesh is not None:
+            # _post_init runs after the base __init__'s shard_params pass;
+            # the ControlNet tree needs the same mesh placement (its attn/ff
+            # kernel names match the TP rules).
+            from sonicdiffusionbayeslab_tpu.parallel import shard_params
+
+            self.controlnet_params = shard_params(self.controlnet_params, self.mesh)
         self._control_call: Optional[Dict[str, Any]] = None
 
     def __call__(self, prompt, *args, control_image=None, controlnet_scale=None, **kw):
@@ -539,5 +566,5 @@ class StableDiffusionControlNetModel(StableDiffusionModel):
         finally:
             self._control_call = None
 
-    def _extra_sample_kwargs(self, batch: int) -> Dict[str, Any]:
+    def _extra_sample_kwargs(self, batch: int, lat_hw) -> Dict[str, Any]:
         return {"control": self._control_call}

@@ -30,7 +30,7 @@ _TOKEN_RE = re.compile(
     r"""
     \\\(|\\\)|\\\[|\\\]   # escaped brackets -> literal
     |\(|\[                 # open emphasis
-    |:\s*([+-]?\d+\.?\d*)\s*\)   # explicit weight close
+    |:\s*([+-]?[\d.]+)\s*\)   # explicit weight close (A1111 accepts .5)
     |\)|\]                 # plain close
     |[^\\()\[\]:]+         # text run
     |:                     # bare colon (literal)
@@ -60,8 +60,16 @@ def parse_segments(text: str) -> List[Tuple[str, float]]:
         elif tok == "[":
             square_stack.append(len(segments))
         elif explicit is not None:
-            start = round_stack.pop() if round_stack else 0
-            scale(start, float(explicit))
+            try:
+                w_val = float(explicit)
+            except ValueError:  # e.g. "1.2.3" — treat literally
+                w_val = None
+            if round_stack and w_val is not None:
+                scale(round_stack.pop(), w_val)
+            else:
+                # No open paren (a literal ':3)' smiley) or unparsable
+                # weight: the text stays literal, nothing is rescaled.
+                segments.append([tok, 1.0])
         elif tok == ")":
             if round_stack:
                 scale(round_stack.pop(), ROUND_FACTOR)

@@ -145,7 +145,7 @@ def main() -> None:
     mcfg = dict(cfg.model)
     name = mcfg.pop("model_name")
     mcfg.setdefault("image_size", cfg.dataset.get("image_size", 512))
-    if args.mesh_data:
+    if args.mesh_data or args.mesh_seq > 1 or args.mesh_model > 1:
         mcfg.update(mesh_data=args.mesh_data, mesh_seq=args.mesh_seq,
                     mesh_model=args.mesh_model)
     pipe = models_registry[name](**mcfg)

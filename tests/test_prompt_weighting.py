@@ -40,6 +40,20 @@ def test_parse_escapes_and_unclosed():
     assert abs(d["a"] - ROUND_FACTOR) < 1e-9
 
 
+def test_parse_literal_colon_paren_and_dot_weights():
+    # ':3)' with no open paren is a literal smiley, not a whole-prompt x3.
+    segs = parse_segments("a smiley :3) on a wall")
+    assert all(abs(w - 1.0) < 1e-9 for _, w in segs)
+    assert "".join(t for t, _ in segs) == "a smiley :3) on a wall"
+    # Leading-dot weights are legal A1111 syntax.
+    d = {t.strip(): w for t, w in parse_segments("(cat:.5)") if t.strip()}
+    assert abs(d["cat"] - 0.5) < 1e-9
+    # Unparsable weight stays literal (and the open paren still closes late).
+    segs = parse_segments("(cat:1.2.3)")
+    joined = "".join(t for t, _ in segs)
+    assert ":1.2.3)" in joined
+
+
 def test_weighted_ids_align_with_plain_tokenization():
     tok = HashTokenizer(vocab_size=1000)
     plain = tok(["a cat on a mat"])[0]

@@ -131,6 +131,27 @@ def test_sdxl_pipeline_registry_e2e():
     assert 0.0 <= images.min() and images.max() <= 1.0
 
 
+def test_sdxl_time_ids_follow_height_width():
+    """height/width overrides must drive the text_time micro-conditioning,
+    not the construction-time image_size (SDXL reacts to these)."""
+    from sonicdiffusionbayeslab_tpu.registry import load_all_plugins, models_registry
+
+    load_all_plugins()
+    pipe = models_registry["stable_diffusion_xl_model"](
+        pretrained_model="x", tiny=True, image_size=64, dtype="float32"
+    )
+    pipe._pooled_queue = [jnp.zeros((1, 16))]
+    kw = pipe._extra_sample_kwargs(1, (8, 16))  # 64x128 px
+    ids = np.asarray(kw["added_cond"]["time_ids"][0])
+    np.testing.assert_array_equal(ids, [64.0, 128.0, 0.0, 0.0, 64.0, 128.0])
+
+    with pytest.raises(ValueError, match="prompt_weighting"):
+        models_registry["stable_diffusion_xl_model"](
+            pretrained_model="x", tiny=True, image_size=64, dtype="float32",
+            prompt_weighting=True,
+        )
+
+
 def test_sdxl_checkpoint_loader_synthetic(tmp_path, engine, params):
     """Synthesize a diffusers-layout SDXL snapshot from the inverted trees
     and load it back through load_sdxl_checkpoint."""
