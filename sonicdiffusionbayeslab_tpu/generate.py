@@ -36,6 +36,11 @@ def main() -> None:
     p.add_argument("--strength", type=float, default=0.8, help="img2img noising strength")
     p.add_argument("--mask_image", default=None,
                    help="inpainting mask path (white = regenerate); needs --init_image")
+    p.add_argument("--height", type=int, default=None, help="non-square height (mult of 8)")
+    p.add_argument("--width", type=int, default=None, help="non-square width (mult of 8)")
+    p.add_argument("--variant", default="auto", help="sd15 | sd21 | auto")
+    p.add_argument("--prompt_weighting", action="store_true",
+                   help="enable (word:1.3) emphasis syntax")
     args = p.parse_args()
 
     from sonicdiffusionbayeslab_tpu.data.imageio import write_png
@@ -49,6 +54,8 @@ def main() -> None:
         pretrained_model=args.pretrained_model,
         image_size=args.image_size,
         tiny=args.tiny,
+        variant=args.variant,
+        prompt_weighting=args.prompt_weighting,
     )
     import json
 
@@ -59,6 +66,8 @@ def main() -> None:
         model.cache_plan_fn = lambda n: CachePlan.every(n, args.cache_interval, args.cache_branch_id)
 
     call_kw = {}
+    if args.height or args.width:
+        call_kw["height"], call_kw["width"] = args.height, args.width
     if args.init_image:
         from sonicdiffusionbayeslab_tpu.data.imageio import read_image
         import numpy as np

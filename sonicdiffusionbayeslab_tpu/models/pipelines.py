@@ -376,13 +376,10 @@ class StableDiffusionXLModel(StableDiffusionModel):
         mesh_model: int = 1,
         prompt_weighting: bool = False,
     ):
-        if prompt_weighting:
-            # The dual-tower encode path would need weights aligned to BOTH
-            # tokenizers; explicit error beats silently ignoring the flag.
-            raise ValueError("prompt_weighting is not supported for the SDXL pipeline")
         super().__init__(pretrained_model=pretrained_model, image_size=image_size,
                          tiny=tiny, dtype=dtype, seed=seed, lora=lora,
-                         mesh_data=mesh_data, mesh_seq=mesh_seq, mesh_model=mesh_model)
+                         mesh_data=mesh_data, mesh_seq=mesh_seq, mesh_model=mesh_model,
+                         prompt_weighting=prompt_weighting)
 
     def _make_engine(self, dt, tiny: bool):
         from sonicdiffusionbayeslab_tpu.models.sampler import SDXLEngine, SDXLTextConfigs
@@ -418,10 +415,32 @@ class StableDiffusionXLModel(StableDiffusionModel):
         return self.engine.init_params(seed=seed, latent_hw=self.latent_hw)
 
     def _encode(self, prompts: Sequence[str]) -> jax.Array:
-        ids1 = self.tokenizer(list(prompts))
-        ids2 = self.tokenizer2(list(prompts))
+        if not getattr(self, "prompt_weighting", False):
+            ids1 = self.tokenizer(list(prompts))
+            ids2 = self.tokenizer2(list(prompts))
+            ctx, pooled = self.engine.encode_prompts_xl(self.params, ids1, ids2)
+            self._pooled_queue.append(pooled)
+            return ctx
+        from sonicdiffusionbayeslab_tpu.models.prompt_weighting import (
+            apply_prompt_weights,
+            batch_weighted_ids,
+        )
+
+        # Dual-tower weighting: each tower gets weights aligned with ITS
+        # tokenizer (the feature concat keeps tower-1 states in the first
+        # hidden_size dims, tower-2 after); pooled stays unweighted (compel
+        # convention).
+        ids1, w1 = batch_weighted_ids(self.tokenizer, list(prompts))
+        ids2, w2 = batch_weighted_ids(self.tokenizer2, list(prompts))
         ctx, pooled = self.engine.encode_prompts_xl(self.params, ids1, ids2)
         self._pooled_queue.append(pooled)
+        if np.any(w1 != 1.0) or np.any(w2 != 1.0):
+            h1 = self.engine.text_config.hidden_size
+            ctx = jnp.concatenate(
+                [apply_prompt_weights(ctx[..., :h1], w1),
+                 apply_prompt_weights(ctx[..., h1:], w2)],
+                axis=-1,
+            )
         return ctx
 
     def _extra_sample_kwargs(self, batch: int, lat_hw) -> Dict[str, Any]:

@@ -145,11 +145,21 @@ def test_sdxl_time_ids_follow_height_width():
     ids = np.asarray(kw["added_cond"]["time_ids"][0])
     np.testing.assert_array_equal(ids, [64.0, 128.0, 0.0, 0.0, 64.0, 128.0])
 
-    with pytest.raises(ValueError, match="prompt_weighting"):
-        models_registry["stable_diffusion_xl_model"](
-            pretrained_model="x", tiny=True, image_size=64, dtype="float32",
-            prompt_weighting=True,
-        )
+def test_sdxl_prompt_weighting_e2e():
+    """Dual-tower emphasis: per-tower weights on the feature slices."""
+    from sonicdiffusionbayeslab_tpu.registry import load_all_plugins, models_registry
+
+    load_all_plugins()
+    pipe = models_registry["stable_diffusion_xl_model"](
+        pretrained_model="x", tiny=True, image_size=64, dtype="float32",
+        prompt_weighting=True,
+    )
+    pipe.scheduler = EulerScheduler()
+    key = jax.random.PRNGKey(29)
+    plain, _, _ = pipe(["a cat"], num_inference_steps=2, guidance_scale=5.0, key=key)
+    emph, _, _ = pipe(["a (cat:1.8)"], num_inference_steps=2, guidance_scale=5.0, key=key)
+    assert np.isfinite(emph).all()
+    assert np.abs(emph - plain).max() > 1e-6
 
 
 def test_sdxl_checkpoint_loader_synthetic(tmp_path, engine, params):
