@@ -36,14 +36,23 @@ def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10000
 
 
 class TimestepEmbedMLP(nn.Module):
-    """time_embedding: sinusoid -> Linear -> SiLU -> Linear (4x widening)."""
+    """time_embedding: sinusoid -> Linear -> SiLU -> Linear (4x widening).
+
+    ``cond`` (diffusers TimestepEmbedding.cond_proj): an extra conditioning
+    vector — LCM full models' guidance(w) embedding — projected bias-free
+    onto the sinusoid and ADDED before fc1."""
 
     dim: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, t_emb: jax.Array) -> jax.Array:
+    def __call__(self, t_emb: jax.Array, cond: Optional[jax.Array] = None) -> jax.Array:
+        if cond is not None:
+            t_emb = t_emb + nn.Dense(
+                t_emb.shape[-1], use_bias=False, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="cond_proj",
+            )(cond.astype(self.dtype))
         h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(t_emb)
         h = nn.silu(h)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(h)

@@ -78,6 +78,20 @@ class SDXLTextConfigs:
         )
 
 
+def guidance_scale_embedding(w: jax.Array, dim: int) -> jax.Array:
+    """Sinusoidal embedding of (guidance_scale - 1) for w-conditioned (full
+    LCM) UNets — diffusers get_guidance_scale_embedding: w scaled by 1000,
+    half-sin/half-cos."""
+    w = jnp.asarray(w, jnp.float32) * 1000.0
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * (-jnp.log(10000.0) / (half - 1)))
+    emb = w[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
 @dataclasses.dataclass
 class SampleOutput:
     images: jax.Array  # [B, H, W, 3] in [0, 1]
@@ -125,8 +139,12 @@ class StableDiffusionEngine:
                           - 6 * self.unet_config.addition_time_embed_dim)
             added = {"text_embeds": jnp.zeros((1, pooled_dim)),
                      "time_ids": jnp.zeros((1, 6))}
+        tcond = None
+        if self.unet_config.time_cond_proj_dim is not None:
+            tcond = jnp.zeros((1, self.unet_config.time_cond_proj_dim))
         return {
-            "unet": self.unet.init(k1, lat, jnp.zeros((1,)), ctx, added)["params"],
+            "unet": self.unet.init(k1, lat, jnp.zeros((1,)), ctx, added,
+                                   timestep_cond=tcond)["params"],
             "vae": self.vae.init(k2, lat, method=self.vae.init_all)["params"],
             "text": self.text.init(k3, ids)["params"],
         }
@@ -236,6 +254,7 @@ class StableDiffusionEngine:
         has_added: bool = False,  # SDXL text_time conditioning present
         use_control: bool = False,  # ControlNet residual injection
         use_ip: bool = False,  # IP-Adapter decoupled cross-attention
+        use_tcond: bool = False,  # w-embedding conditioning (full LCM UNets)
     ):
         unet = self.unet
         controlnet = self.controlnet
@@ -244,7 +263,7 @@ class StableDiffusionEngine:
                     blend_mask=None, blend_source=None, blend_noise=None,
                     added_text=None, added_ids=None,
                     control_params=None, control_hint=None, control_scale=None,
-                    ip_tokens=None, ip_scale=None):
+                    ip_tokens=None, ip_scale=None, timestep_cond=None):
             """latents0 [B,h,w,4] fp32; embeds [2B or B, T, C]; plan_xs dict of [L,...].
 
             Inpainting (use_blend): after each scheduler step the kept
@@ -256,6 +275,8 @@ class StableDiffusionEngine:
                 {"text_embeds": added_text, "time_ids": added_ids} if has_added else None
             )
             ip_kw = {"ip_context": ip_tokens, "ip_scale": ip_scale} if use_ip else {}
+            if use_tcond:
+                ip_kw["timestep_cond"] = timestep_cond
 
             def body(carry, xs):
                 sched: SchedulerCarry = carry["sched"]
@@ -462,6 +483,18 @@ class StableDiffusionEngine:
                 control_scale=jnp.float32(control.get("scale", 1.0)),
             )
 
+        tcond_args = {}
+        use_tcond = self.unet_config.time_cond_proj_dim is not None
+        if use_tcond:
+            # w-conditioned UNet (full LCM): embed guidance_scale - 1 for
+            # every row of the (possibly CFG-doubled) model batch.
+            n_rows = B * (2 if do_cfg else 1)
+            w_emb = guidance_scale_embedding(
+                jnp.full((n_rows,), guidance_scale - 1.0, jnp.float32),
+                self.unet_config.time_cond_proj_dim,
+            )
+            tcond_args = dict(timestep_cond=w_emb)
+
         ip_args = {}
         if ip_adapter is not None:
             if "image_proj" not in params:
@@ -511,6 +544,7 @@ class StableDiffusionEngine:
             added_cond is not None,
             control is not None,
             ip_adapter is not None,
+            use_tcond,
         )
 
         step_key = jax.random.fold_in(key, 0x5EED)
@@ -528,6 +562,7 @@ class StableDiffusionEngine:
             **added_args,
             **control_args,
             **ip_args,
+            **tcond_args,
         )
         latents = jax.block_until_ready(latents)
         # On async remote backends (axon tunnel) block_until_ready can return

@@ -67,6 +67,9 @@ class UNetConfig:
     # NHWC; the flag only drives the weight converter's source layout.
     # None = infer from addition_time_embed_dim (SDXL).
     use_linear_projection: Optional[bool] = None
+    # diffusers time_cond_proj_dim: guidance(w)-embedding conditioning of the
+    # timestep MLP — full LCM checkpoints (e.g. LCM_Dreamshaper_v7, 256).
+    time_cond_proj_dim: Optional[int] = None
 
     @property
     def linear_projection(self) -> bool:
@@ -172,6 +175,9 @@ class UNet2DCondition(nn.Module):
         # to_k_ip/to_v_ip projections when present.
         ip_context: Optional[jax.Array] = None,
         ip_scale=1.0,
+        # Guidance-embedding conditioning [B, time_cond_proj_dim] (full LCM
+        # models; see guidance_scale_embedding in models/sampler.py).
+        timestep_cond: Optional[jax.Array] = None,
     ):
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -179,8 +185,14 @@ class UNet2DCondition(nn.Module):
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
         t_emb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+        if cfg.time_cond_proj_dim is not None and timestep_cond is None:
+            raise ValueError(
+                "this UNet config requires timestep_cond (guidance embedding, "
+                f"dim {cfg.time_cond_proj_dim})"
+            )
         t_emb = TimestepEmbedMLP(cfg.block_out_channels[0] * 4, name="time_embedding", **kw)(
-            t_emb.astype(self.dtype)
+            t_emb.astype(self.dtype),
+            cond=timestep_cond if cfg.time_cond_proj_dim is not None else None,
         )
         if cfg.addition_time_embed_dim is not None:
             # SDXL text_time micro-conditioning (diffusers addition_embed_type

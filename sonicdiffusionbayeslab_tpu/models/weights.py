@@ -131,6 +131,8 @@ def unet_name_map(cfg: UNetConfig) -> Dict[str, Tuple[str, Transform, Transform]
     conv("conv_in", "conv_in")
     dense("time_embedding/fc1", "time_embedding.linear_1")
     dense("time_embedding/fc2", "time_embedding.linear_2")
+    if cfg.time_cond_proj_dim is not None:  # full-LCM guidance embedding
+        dense("time_embedding/cond_proj", "time_embedding.cond_proj", bias=False)
     if cfg.addition_time_embed_dim is not None:  # SDXL text_time conditioning
         dense("add_embedding/fc1", "add_embedding.linear_1")
         dense("add_embedding/fc2", "add_embedding.linear_2")
