@@ -56,6 +56,14 @@ class LCMDistillConfig:
     lora_rank: int = 64
     lora_targets: str = DEFAULT_TARGETS
     lora_scale: float = 1.0
+    # Full-LCM recipe (Luo et al. 2023 complete form): sample w uniformly in
+    # [w_min, w_max] per example and condition the student on it through a
+    # time_cond_proj_dim-wide guidance embedding (requires lora_rank == 0;
+    # the student gains a zero-init cond_proj so step 0 still matches the
+    # teacher). None = fixed-w LCM-LoRA style above.
+    w_min: Optional[float] = None
+    w_max: Optional[float] = None
+    student_time_cond_proj_dim: Optional[int] = None
 
 
 class LCMDistiller:
@@ -76,6 +84,26 @@ class LCMDistiller:
         N = config.original_inference_steps
         if T % N:
             raise ValueError(f"num_train_timesteps {T} not divisible by grid {N}")
+        self.w_conditioned = config.student_time_cond_proj_dim is not None
+        if self.w_conditioned:
+            import dataclasses as _dc
+
+            if config.lora_rank > 0:
+                raise ValueError(
+                    "w-conditioned distillation needs a full student "
+                    "(lora_rank=0): the cond_proj has no teacher counterpart"
+                )
+            if (config.w_min is None) != (config.w_max is None):
+                raise ValueError("set both w_min and w_max (or neither)")
+            from sonicdiffusionbayeslab_tpu.models.unet import UNet2DCondition
+
+            self.student_unet = UNet2DCondition(
+                _dc.replace(engine.unet_config,
+                            time_cond_proj_dim=config.student_time_cond_proj_dim),
+                dtype=engine.unet.dtype, param_dtype=engine.unet.param_dtype,
+            )
+        elif config.w_min is not None or config.w_max is not None:
+            raise ValueError("w sampling requires student_time_cond_proj_dim")
         self.k = T // N
         # Ascending distillation grid: t_i = (i+1)*k - 1 (diffusers ddim_timesteps).
         self.grid = np.arange(1, N + 1, dtype=np.int64) * self.k - 1
@@ -97,6 +125,19 @@ class LCMDistiller:
             trainable = init_lora(params["unet"], cfg.lora_rank, key, cfg.lora_targets)
         else:
             trainable = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params["unet"])
+            if self.w_conditioned:
+                # Teacher weights + a ZERO-init cond_proj: step 0 matches the
+                # teacher for every w.
+                te = dict(trainable["time_embedding"])
+                te["cond_proj"] = {
+                    "kernel": jnp.zeros(
+                        (cfg.student_time_cond_proj_dim,
+                         self.engine.unet_config.block_out_channels[0]),
+                        jnp.float32,
+                    )
+                }
+                trainable = dict(trainable)
+                trainable["time_embedding"] = te
         # Target network starts as a copy of the student (EMA thereafter).
         ema = jax.tree.map(jnp.copy, trainable)
         return TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
@@ -114,6 +155,8 @@ class LCMDistiller:
     def _build_step(self):
         cfg = self.config
         unet = self.engine.unet
+        student_unet = self.student_unet if self.w_conditioned else unet
+        w_conditioned = self.w_conditioned
         ac_table = jnp.asarray(self.schedule.alphas_cumprod, jnp.float32)
         grid = jnp.asarray(self.grid, jnp.int32)
         k = self.k
@@ -134,7 +177,7 @@ class LCMDistiller:
         def distill_step(state: TrainState, teacher_unet, latents, context, uncond, key):
             """latents [B,h,w,4] clean (VAE-scaled); context/uncond [B,T,C]."""
             B = latents.shape[0]
-            k_i, k_n = jax.random.split(jax.random.fold_in(key, state.step))
+            k_i, k_n, k_w = jax.random.split(jax.random.fold_in(key, state.step), 3)
             idx = jax.random.randint(k_i, (B,), 0, grid.shape[0])
             t = grid[idx]  # start node
             s = t - k  # previous node (t==grid[0] -> s = -1 = clean boundary)
@@ -148,8 +191,15 @@ class LCMDistiller:
             c2 = jnp.concatenate([uncond, context]).astype(unet.dtype)
             eps2 = unet.apply({"params": teacher_unet}, z2, t2, c2).astype(jnp.float32)
             eps_u, eps_c = jnp.split(eps2, 2)
-            w = jnp.float32(cfg.guidance_scale)
-            eps_w = eps_c + w * (eps_c - eps_u)
+            if w_conditioned and cfg.w_min is not None:
+                # Full-LCM recipe: per-example w ~ U[w_min, w_max], embedded
+                # into the student below.
+                w_vec = jax.random.uniform(
+                    k_w, (B,), jnp.float32, cfg.w_min, cfg.w_max
+                )
+            else:
+                w_vec = jnp.full((B,), cfg.guidance_scale, jnp.float32)
+            eps_w = eps_c + w_vec[:, None, None, None] * (eps_c - eps_u)
 
             # ---- one DDIM step down the grid under the guided teacher
             x0_t = x0_from_eps(z_t, a_t, s_t, eps_w)
@@ -159,10 +209,22 @@ class LCMDistiller:
             c_skip_t, c_out_t = self._scalings(t)
             c_skip_s, c_out_s = self._scalings(jnp.maximum(s, 0))
 
+            if w_conditioned:
+                from sonicdiffusionbayeslab_tpu.models.sampler import (
+                    guidance_scale_embedding,
+                )
+
+                w_emb = guidance_scale_embedding(
+                    w_vec - 1.0, cfg.student_time_cond_proj_dim
+                )
+            else:
+                w_emb = None
+
             def f_consistency(unet_params, z, tt, aa, ss, c_skip, c_out):
-                eps = unet.apply(
+                kw = {"timestep_cond": w_emb} if w_conditioned else {}
+                eps = student_unet.apply(
                     {"params": unet_params}, z.astype(unet.dtype),
-                    tt.astype(jnp.float32), context.astype(unet.dtype),
+                    tt.astype(jnp.float32), context.astype(unet.dtype), **kw,
                 ).astype(jnp.float32)
                 return c_skip * z + c_out * x0_from_eps(z, aa, ss, eps)
 
