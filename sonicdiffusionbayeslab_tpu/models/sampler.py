@@ -177,7 +177,13 @@ class StableDiffusionEngine:
         lat = jnp.zeros((1, latent_hw, latent_hw, self.unet_config.in_channels))
         ctx = jnp.zeros((1, self.text_config.max_length, self.unet_config.cross_attention_dim))
         ip_ctx = jnp.zeros((1, num_tokens, self.unet_config.cross_attention_dim))
-        unet_tree = self.unet.init(k1, lat, jnp.zeros((1,)), ctx, None,
+        added = None
+        if self.unet_config.addition_time_embed_dim is not None:  # SDXL family
+            pooled_dim = (self.unet_config.projection_class_embeddings_input_dim
+                          - 6 * self.unet_config.addition_time_embed_dim)
+            added = {"text_embeds": jnp.zeros((1, pooled_dim)),
+                     "time_ids": jnp.zeros((1, 6))}
+        unet_tree = self.unet.init(k1, lat, jnp.zeros((1,)), ctx, added,
                                    ip_context=ip_ctx)["params"]
         proj = ImageProjection(
             self.unet_config.cross_attention_dim, num_tokens,
@@ -357,7 +363,11 @@ class StableDiffusionEngine:
                 carry0["cache"] = jnp.zeros(
                     (b,) + unet.cache_shape(h, w, cache_branch), unet.dtype
                 )
-            carry, x0_seq = jax.lax.scan(body, carry0, plan_xs)
+            import os
+
+            # Perf experiment knob (docs/PERF.md): unroll the scan body.
+            unroll = int(os.environ.get("SDBL_SCAN_UNROLL", "1"))
+            carry, x0_seq = jax.lax.scan(body, carry0, plan_xs, unroll=unroll)
             return carry["sched"].latents, x0_seq
 
         def init_carry_static(latents0):

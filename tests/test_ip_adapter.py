@@ -122,6 +122,36 @@ def test_ip_engine_sample_e2e(engine, params):
     assert np.abs(np.asarray(out.images) - np.asarray(base.images)).max() > 1e-6
 
 
+def test_ip_sdxl_engine_e2e():
+    """IP-Adapter on the SDXL family: init handles text_time conditioning,
+    decoupled attention rides the added_cond path."""
+    from sonicdiffusionbayeslab_tpu.models import SDXLEngine, SDXLTextConfigs, VAEConfig
+
+    eng = SDXLEngine(
+        UNetConfig.tiny_xl(), VAEConfig.tiny(), SDXLTextConfigs.tiny(),
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    base = eng.init_params(seed=0, latent_hw=8)
+    ip = eng.init_ip_params(seed=1, latent_hw=8, embed_dim=EMBED_DIM, num_tokens=4)
+    p = dict(base)
+    p["unet"] = IP.merge_ip_params(
+        base["unet"], IP.extract_ip_params(ip["unet"], eng.unet_config)
+    )
+    p["image_proj"] = ip["image_proj"]
+    tok1 = HashTokenizer(vocab_size=eng.text_config.vocab_size)
+    tok2 = HashTokenizer(vocab_size=eng.text2_config.vocab_size)
+    ctx, pooled = eng.encode_prompts_xl(p, tok1(["a cat"]), tok2(["a cat"]))
+    added = {"text_embeds": pooled,
+             "time_ids": jnp.asarray([[64., 64., 0., 0., 64., 64.]], jnp.float32)}
+    emb = jnp.asarray(np.random.default_rng(5).standard_normal((1, EMBED_DIM)), jnp.float32)
+    plan = DPMSolverScheduler(solver_order=1).build_plan(2)
+    out = eng.sample(p, plan, ctx, None, jax.random.PRNGKey(0),
+                     guidance_scale=0.0, latent_hw=(8, 8), added_cond=added,
+                     ip_adapter={"image_embeds": emb, "scale": 1.0})
+    assert out.images.shape == (1, 16, 16, 3)
+    assert bool(jnp.isfinite(out.images).all())
+
+
 def test_ip_pipeline_e2e():
     from sonicdiffusionbayeslab_tpu.registry import load_all_plugins, models_registry
     from sonicdiffusionbayeslab_tpu.schedulers import EulerScheduler
