@@ -68,3 +68,33 @@ def test_sdxl_x0_capture():
                      collect_x0=True)
     assert out.x0_images.shape == (3, 2, 16, 16, 3)  # steps x batch x img
     assert bool(jnp.isfinite(out.x0_images).all())
+
+
+def test_sdxl_img2img_e2e():
+    """SDXL through the inherited img2img path (strength tail + added_cond)."""
+    load_all_plugins()
+    pipe = models_registry["stable_diffusion_xl_model"](
+        pretrained_model="x", tiny=True, image_size=64, dtype="float32"
+    )
+    pipe.scheduler = DPMSolverScheduler(solver_order=2)
+    src = np.random.default_rng(0).random((2, 16, 16, 3)).astype(np.float32)
+    images, t, _ = pipe(["a cat", "a dog"], num_inference_steps=4,
+                        guidance_scale=5.0, init_image=src, strength=0.5)
+    assert images.shape == (2, 16, 16, 3)
+    assert np.isfinite(images).all() and t > 0
+
+
+def test_controlnet_plus_img2img_compose():
+    """ControlNet residuals and an img2img tail compose in one call."""
+    load_all_plugins()
+    pipe = models_registry["stable_diffusion_controlnet_model"](
+        pretrained_model="x", tiny=True, image_size=64, dtype="float32"
+    )
+    pipe.scheduler = DPMSolverScheduler(solver_order=2)
+    rng = np.random.default_rng(1)
+    src = rng.random((1, 16, 16, 3)).astype(np.float32)
+    cond = rng.random((1, 128, 128, 3)).astype(np.float32)
+    images, t, _ = pipe(["a cat"], num_inference_steps=4, guidance_scale=5.0,
+                        init_image=src, strength=0.5, control_image=cond)
+    assert images.shape == (1, 16, 16, 3)
+    assert np.isfinite(images).all()
