@@ -595,16 +595,15 @@ class StableDiffusionEngine:
         images = self.decode_fn(params["vae"], latents) if decode else None
         x0_images = None
         if collect_x0:
-            # x0_seq: [S, n, h, w, 4]. Pad the step axis to a small multiple
-            # so sweeps over many step counts reuse a handful of VAE-decode
-            # compilations, flatten steps x samples for the batched decode.
-            S, n = x0_seq.shape[0], x0_seq.shape[1]
-            Sp = -(-S // 8) * 8
-            flat = jnp.pad(x0_seq, ((0, Sp - S),) + ((0, 0),) * 4).reshape(
-                (Sp * n,) + x0_seq.shape[2:]
+            # x0_seq: [S, n, h, w, 4]. Decode per step (the reference's
+            # shape, src/models.py:287-302): S dispatches of batch n through
+            # ONE compiled decode — a single flattened [S*n] decode at the
+            # 1000-prompt protocol scale (20 steps x batch 32) would need
+            # ~51 GB just for the decoder's mid-attention scores.
+            x0_images = jnp.stack(
+                [self.decode_fn(params["vae"], x0_seq[i])
+                 for i in range(x0_seq.shape[0])]
             )
-            dec = self.decode_fn(params["vae"], flat)
-            x0_images = dec.reshape((Sp, n) + dec.shape[1:])[:S]
         return SampleOutput(
             images=images,
             execution_time=execution_time,

@@ -56,7 +56,13 @@ def dot_product_attention(q, k, v, mask=None):
     """
     backend = get_attention_backend()
     if backend == "pallas" and mask is None:
-        from sonicdiffusionbayeslab_tpu.ops.flash_attention import flash_attention
+        from sonicdiffusionbayeslab_tpu.ops.flash_attention import (
+            fits_vmem,
+            flash_attention,
+        )
 
-        return flash_attention(q, k, v)
+        if fits_vmem(q, k):
+            return flash_attention(q, k, v)
+        # e.g. the VAE decoder's single-head D=512 mid attention: the
+        # single-pass kernel's full-K/V block exceeds scoped VMEM.
     return _xla_attention(q, k, v, mask=mask)

@@ -162,6 +162,24 @@ def _flash_bh(q, k, v, *, interpret: bool) -> jax.Array:
     return jnp.moveaxis(out, 1, 2)
 
 
+def fits_vmem(q: jax.Array, k: jax.Array, budget_bytes: int = 12 << 20) -> bool:
+    """Whether the single-pass kernel's per-program VMEM footprint fits.
+
+    The kernel streams FULL K/V per (row, q-block) program — right for the
+    UNet's skinny heads (D=40), but a VAE-decoder mid-attention at
+    M=4096, D=512 needs ~17 MB (> the 16 MB scoped VMEM) and must fall
+    back to XLA.  Footprint: bf16 q/k/v/out blocks + the fp32 [BQ, M]
+    logits and [BQ, D] accumulator."""
+    B, N, H, D = q.shape
+    M = k.shape[1]
+    BQ = 256 if N >= 256 else _ceil_to(N, 8)
+    Mp = _ceil_to(M, 8)
+    itemsize = q.dtype.itemsize
+    blocks = (2 * BQ * D + 2 * Mp * D) * itemsize  # q + out + k + v
+    scratch = BQ * Mp * 4 + BQ * D * 4  # fp32 logits + accumulator
+    return blocks + scratch <= budget_bytes
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, interpret: bool = False) -> jax.Array:
     """q [B, N, H, D], k/v [B, M, H, D] -> [B, N, H, D].  fp32 softmax."""
     B, N, H, D = q.shape
