@@ -35,6 +35,8 @@ class GenerateRequest:
     guidance_scale: float = 7.5
     negative_prompt: str = ""
     seed: Optional[int] = None  # None: server-assigned monotonic stream
+    height: Optional[int] = None  # non-square generation (multiples of 8)
+    width: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -105,7 +107,10 @@ class InferenceServer:
     # ------------------------------------------------------------- worker
     @staticmethod
     def _group_key(r: GenerateRequest):
-        return (int(r.num_inference_steps), float(r.guidance_scale))
+        # Shape is part of the compiled signature, so it must be part of
+        # the batching group too.
+        return (int(r.num_inference_steps), float(r.guidance_scale),
+                r.height, r.width)
 
     def _loop(self) -> None:
         while not self._stop.is_set():
@@ -165,6 +170,9 @@ class InferenceServer:
             + [0] * (self.max_batch - n),
             np.int64,
         )
+        size_kw = {}
+        if reqs[0].height is not None or reqs[0].width is not None:
+            size_kw = dict(height=reqs[0].height, width=reqs[0].width)
         t0 = time.perf_counter()
         try:
             images, exec_time, _ = self.pipe(
@@ -174,6 +182,7 @@ class InferenceServer:
                 negative_prompt=negatives,
                 sample_indices=indices,
                 key=jax.random.PRNGKey(0),
+                **size_kw,
             )
         except Exception as e:  # deliver the failure to every caller
             self.stats["errors"] += len(batch)

@@ -78,6 +78,8 @@ def make_handler(server: InferenceServer, model_name: str):
                     guidance_scale=float(req.get("guidance", 7.5)),
                     negative_prompt=str(req.get("negative_prompt", "")),
                     seed=seed,
+                    height=int(req["height"]) if req.get("height") else None,
+                    width=int(req["width"]) if req.get("width") else None,
                 )
                 fut = server.submit(g)  # submit validates; errors are 400s
             except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:

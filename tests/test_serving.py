@@ -141,3 +141,17 @@ def test_http_server_end_to_end(pipe):
     finally:
         httpd.shutdown()
         ready.inference.shutdown(wait=False)  # type: ignore[attr-defined]
+
+
+def test_nonsquare_requests_group_by_shape(server):
+    """height/width join the batching signature: a 64x128 request and a
+    square one run in different batches, both complete."""
+    futs = [
+        server.submit(GenerateRequest("a", num_inference_steps=2, height=64, width=128)),
+        server.submit(GenerateRequest("b", num_inference_steps=2)),
+        server.submit(GenerateRequest("c", num_inference_steps=2, height=64, width=128)),
+    ]
+    outs = [f.result(timeout=600) for f in futs]
+    assert outs[0]["image"].shape == (16, 32, 3)
+    assert outs[1]["image"].shape == (16, 16, 3)
+    assert outs[2]["image"].shape == (16, 32, 3)
