@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Any, Dict, Optional, Tuple
 
@@ -261,11 +262,18 @@ class StableDiffusionEngine:
         use_control: bool = False,  # ControlNet residual injection
         use_ip: bool = False,  # IP-Adapter decoupled cross-attention
         use_tcond: bool = False,  # w-embedding conditioning (full LCM UNets)
+        # Perf knobs (docs/PERF.md). Passed as arguments — not read from the
+        # environment at trace time — so they participate in the lru_cache
+        # key and toggling SDBL_SCAN_UNROLL / SDBL_DONATE mid-process takes
+        # effect instead of silently hitting a stale cached trace.
+        unroll: int = 1,
+        donate: bool = False,
     ):
         unet = self.unet
         controlnet = self.controlnet
 
         def denoise(unet_params, latents0, embeds, plan_xs, guidance, rescale, key,
+                    sample_idx=None,
                     blend_mask=None, blend_source=None, blend_noise=None,
                     added_text=None, added_ids=None,
                     control_params=None, control_hint=None, control_scale=None,
@@ -344,7 +352,16 @@ class StableDiffusionEngine:
                 key_out = carry["key"]
                 if needs_noise:
                     key_out, sub = jax.random.split(carry["key"])
-                    noise = jax.random.normal(sub, lat.shape, jnp.float32)
+                    # Per-sample streams: ancestral noise is keyed by the
+                    # sample's identity (sample_idx), not its row position,
+                    # so batch composition never changes a request's image —
+                    # the same guarantee per_sample_latents gives the initial
+                    # latents (serving/batcher.py contract).
+                    noise = jax.vmap(
+                        lambda si: jax.random.normal(
+                            jax.random.fold_in(sub, si), lat.shape[1:], jnp.float32
+                        )
+                    )(sample_idx)
                 new_sched, x0 = apply_row(sched, eps, xs, noise)
                 if use_blend:
                     target = xs["blend_a"] * blend_source + xs["blend_s"] * blend_noise
@@ -363,10 +380,6 @@ class StableDiffusionEngine:
                 carry0["cache"] = jnp.zeros(
                     (b,) + unet.cache_shape(h, w, cache_branch), unet.dtype
                 )
-            import os
-
-            # Perf experiment knob (docs/PERF.md): unroll the scan body.
-            unroll = int(os.environ.get("SDBL_SCAN_UNROLL", "1"))
             carry, x0_seq = jax.lax.scan(body, carry0, plan_xs, unroll=unroll)
             return carry["sched"].latents, x0_seq
 
@@ -378,12 +391,12 @@ class StableDiffusionEngine:
             saved = jnp.zeros_like(lat) if has_saved else None
             return SchedulerCarry(lat, hist, saved)
 
-        import os
-
-        if os.environ.get("SDBL_DONATE"):
+        if donate:
             # Perf experiment (VERDICT r1 item 6c): donate the initial
             # latents so XLA may alias them into the scan carry. Measured on
-            # hardware in docs/PERF.md.
+            # hardware in docs/PERF.md. sample() copies caller-supplied
+            # init_latents before the call so donation never invalidates a
+            # user-owned buffer.
             return jax.jit(denoise, donate_argnums=(1,))
         return jax.jit(denoise)
 
@@ -538,6 +551,7 @@ class StableDiffusionEngine:
                 ids = jnp.concatenate([ids, ids])
             added_args = dict(added_text=pos, added_ids=ids)
 
+        donate = bool(os.environ.get("SDBL_DONATE"))
         fn = self._denoise_fn(
             plan.num_steps,
             plan.hist_depth,
@@ -555,7 +569,12 @@ class StableDiffusionEngine:
             control is not None,
             ip_adapter is not None,
             use_tcond,
+            int(os.environ.get("SDBL_SCAN_UNROLL", "1")),
+            donate,
         )
+        if donate and init_latents is not None:
+            # Donation would invalidate the caller's buffer; give XLA a copy.
+            latents0 = jnp.array(latents0, jnp.float32, copy=True)
 
         step_key = jax.random.fold_in(key, 0x5EED)
         # Reference timing contract: wall clock around the denoise loop only.
@@ -568,6 +587,7 @@ class StableDiffusionEngine:
             jnp.float32(guidance_scale),
             jnp.float32(guidance_rescale),
             step_key,
+            sample_idx=jnp.asarray(sample_indices, jnp.int32),
             **blend_args,
             **added_args,
             **control_args,
@@ -580,8 +600,6 @@ class StableDiffusionEngine:
         # honest sync, so the timed region ends with one.
         _ = jax.device_get(latents[(0,) * latents.ndim])
         execution_time = time.perf_counter() - t0
-
-        import os
 
         if os.environ.get("SDBL_CHECK_NANS"):
             # Sanitizer mode (SURVEY §5): fail loudly on non-finite latents

@@ -175,7 +175,11 @@ def fits_vmem(q: jax.Array, k: jax.Array, budget_bytes: int = 12 << 20) -> bool:
     BQ = 256 if N >= 256 else _ceil_to(N, 8)
     Mp = _ceil_to(M, 8)
     itemsize = q.dtype.itemsize
-    blocks = (2 * BQ * D + 2 * Mp * D) * itemsize  # q + out + k + v
+    # The native layout's blocks carry the full head axis ([1, BQ, H, D] q/out
+    # and [1, Mp, H, D] k/v), H x the per-head `bh` blocks — the guard must
+    # model the layout that will actually dispatch.
+    h_mult = H if os.environ.get("SDBL_PALLAS_LAYOUT", "bh").strip().lower() == "native" else 1
+    blocks = (2 * BQ * D + 2 * Mp * D) * itemsize * h_mult  # q + out + k + v
     scratch = BQ * Mp * 4 + BQ * D * 4  # fp32 logits + accumulator
     return blocks + scratch <= budget_bytes
 

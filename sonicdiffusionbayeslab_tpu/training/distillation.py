@@ -214,8 +214,15 @@ class LCMDistiller:
                     guidance_scale_embedding,
                 )
 
+                # Diffusers LCM training convention: the sampled w is
+                # embedded DIRECTLY while the teacher applies offset-form
+                # guidance eps_c + w*(eps_c - eps_u).  Inference then embeds
+                # guidance_scale - 1 (models/sampler.py:502-505), so a user's
+                # guidance_scale=g reproduces teacher strength w = g - 1,
+                # i.e. classic CFG scale g — identical semantics to
+                # diffusers-trained full-LCM checkpoints.
                 w_emb = guidance_scale_embedding(
-                    w_vec - 1.0, cfg.student_time_cond_proj_dim
+                    w_vec, cfg.student_time_cond_proj_dim
                 )
             else:
                 w_emb = None
