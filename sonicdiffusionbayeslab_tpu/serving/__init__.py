@@ -7,6 +7,10 @@ steady-state serving never recompiles — and a dependency-free HTTP front
 end (``serving/server.py``, ``sdbl-serve``).
 """
 
-from sonicdiffusionbayeslab_tpu.serving.batcher import GenerateRequest, InferenceServer
+from sonicdiffusionbayeslab_tpu.serving.batcher import (
+    GenerateRequest,
+    InferenceServer,
+    ServerOverloadedError,
+)
 
-__all__ = ["GenerateRequest", "InferenceServer"]
+__all__ = ["GenerateRequest", "InferenceServer", "ServerOverloadedError"]

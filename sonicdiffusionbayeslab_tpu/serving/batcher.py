@@ -28,6 +28,13 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 
+class ServerOverloadedError(RuntimeError):
+    """Raised by ``submit`` when the pending-request depth hit ``max_pending``
+    — the serving analogue of HTTP 429.  Callers should back off and retry;
+    without this bound a burst beyond device throughput would grow the queue
+    (and every caller's latency) without limit."""
+
+
 @dataclasses.dataclass
 class GenerateRequest:
     prompt: str
@@ -37,6 +44,10 @@ class GenerateRequest:
     seed: Optional[int] = None  # None: server-assigned monotonic stream
     height: Optional[int] = None  # non-square generation (multiples of 8)
     width: Optional[int] = None
+    # Queue-wait budget: if the request has not STARTED running on device
+    # within this many seconds of submission, it fails with TimeoutError
+    # instead of waiting forever behind a backlog.  None = no limit.
+    timeout_s: Optional[float] = None
 
 
 @dataclasses.dataclass
@@ -44,47 +55,94 @@ class _Pending:
     request: GenerateRequest
     future: Future
     index: int  # server-wide monotonic counter -> RNG stream
+    deadline: Optional[float] = None  # time.monotonic() cutoff (timeout_s)
+    resolved: bool = False  # guarded by the server lock: resolve exactly once
 
 
 class InferenceServer:
     """Wraps a pipeline (``models_registry`` instance with an assigned
     scheduler) behind a thread-safe ``submit`` -> Future API."""
 
-    def __init__(self, pipe, max_batch: int = 8, max_wait_ms: float = 25.0):
+    def __init__(self, pipe, max_batch: int = 8, max_wait_ms: float = 25.0,
+                 max_pending: int = 256):
         self.pipe = pipe
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
+        self.max_pending = int(max_pending)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._backlog: "collections.deque[_Pending]" = collections.deque()
         self._counter = 0
+        self._pending = 0  # queued + backlogged, not yet resolved
         self._counter_lock = threading.Lock()
         self._stop = threading.Event()
+        self._draining = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self.stats: Dict[str, Any] = {
             "requests": 0, "images": 0, "batches": 0, "errors": 0,
-            "batch_seconds": 0.0,
+            "rejected": 0, "timeouts": 0, "batch_seconds": 0.0,
         }
         self._worker.start()
 
     # ------------------------------------------------------------- client
     def submit(self, request: GenerateRequest) -> Future:
-        if self._stop.is_set():
+        if self._stop.is_set() or self._draining.is_set():
             raise RuntimeError("server is shut down")
         if request.seed is not None and not isinstance(request.seed, (int, np.integer)):
             # Validate here, in the caller's thread — a malformed seed must
             # become the submitter's error, never a worker-thread death.
             raise ValueError(f"seed must be an integer or null, got {request.seed!r}")
         with self._counter_lock:
+            if self._pending >= self.max_pending:
+                self.stats["rejected"] += 1
+                raise ServerOverloadedError(
+                    f"{self._pending} requests pending (max_pending="
+                    f"{self.max_pending}); back off and retry"
+                )
+            self._pending += 1
             idx = self._counter
             self._counter += 1
         fut: Future = Future()
-        self._queue.put(_Pending(request, fut, idx))
+        deadline = (
+            time.monotonic() + float(request.timeout_s)
+            if request.timeout_s is not None else None
+        )
+        self._queue.put(_Pending(request, fut, idx, deadline))
         return fut
 
     def generate(self, request: GenerateRequest, timeout: Optional[float] = None):
         return self.submit(request).result(timeout)
 
-    def shutdown(self, wait: bool = True) -> None:
+    def _resolve(self, p: _Pending, *, result=None, exc=None) -> None:
+        with self._counter_lock:
+            if p.resolved:
+                return
+            p.resolved = True
+            self._pending -= 1
+        # Set outside the lock: done-callbacks run in this thread and must be
+        # free to call submit() without deadlocking.
+        if exc is not None:
+            p.future.set_exception(exc)
+        else:
+            p.future.set_result(result)
+
+    def _expired(self, p: _Pending) -> bool:
+        """Fail (and consume) a pending item whose queue-wait deadline passed."""
+        if p.deadline is not None and time.monotonic() > p.deadline:
+            self.stats["timeouts"] += 1
+            self._resolve(p, exc=TimeoutError(
+                f"request waited > {p.request.timeout_s}s in queue"))
+            return True
+        return False
+
+    def shutdown(self, wait: bool = True, drain: bool = False) -> None:
+        """Stop the server.  ``drain=True``: refuse new submissions but finish
+        everything already queued before stopping (graceful); ``drain=False``:
+        stop after the in-flight batch and fail the rest immediately."""
+        if drain:
+            self._draining.set()
+            self._queue.put(None)  # wake the worker if it is idle
+            if wait:
+                self._worker.join(timeout=300)
         self._stop.set()
         self._queue.put(None)  # wake the worker
         if wait:
@@ -97,11 +155,10 @@ class InferenceServer:
                 p = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if p is not None and not p.future.done():
-                p.future.set_exception(err)
+            if p is not None:
+                self._resolve(p, exc=err)
         for p in self._backlog:
-            if not p.future.done():
-                p.future.set_exception(err)
+            self._resolve(p, exc=err)
         self._backlog.clear()
 
     # ------------------------------------------------------------- worker
@@ -118,19 +175,33 @@ class InferenceServer:
             # signature) are strictly older than anything in the queue, so
             # serving them first bounds their latency — a sustained stream
             # of one signature cannot starve another.
-            if self._backlog:
-                item = self._backlog.popleft()
-            else:
-                item = self._queue.get()
-                if item is None:
-                    continue
+            item = None
+            while item is None:
+                if self._stop.is_set():
+                    return
+                if self._backlog:
+                    item = self._backlog.popleft()
+                else:
+                    if self._draining.is_set():
+                        # Graceful drain: nothing backlogged — serve whatever
+                        # is still queued, then exit when it runs dry.
+                        try:
+                            item = self._queue.get_nowait()
+                        except queue.Empty:
+                            return
+                    else:
+                        item = self._queue.get()
+                if item is not None and self._expired(item):
+                    item = None
             batch = [item]
             key = self._group_key(item.request)
             # Same-signature stragglers from the backlog join for free.
             for p in list(self._backlog):
                 if len(batch) >= self.max_batch:
                     break
-                if self._group_key(p.request) == key:
+                if self._expired(p):
+                    self._backlog.remove(p)
+                elif self._group_key(p.request) == key:
                     self._backlog.remove(p)
                     batch.append(p)
             deadline = time.monotonic() + self.max_wait_s
@@ -144,6 +215,8 @@ class InferenceServer:
                     break
                 if nxt is None:
                     break
+                if self._expired(nxt):
+                    continue
                 if self._group_key(nxt.request) == key:
                     batch.append(nxt)
                 else:
@@ -153,8 +226,7 @@ class InferenceServer:
             except Exception as e:  # the worker must never die
                 self.stats["errors"] += len(batch)
                 for p in batch:
-                    if not p.future.done():
-                        p.future.set_exception(e)
+                    self._resolve(p, exc=e)
 
     def _run_batch(self, batch: List[_Pending]) -> None:
         import jax
@@ -165,8 +237,12 @@ class InferenceServer:
         negatives = [r.negative_prompt for r in reqs] + [""] * (self.max_batch - n)
         # Per-request RNG stream: explicit seed wins, else the monotonic
         # request index — batch composition never changes a request's image.
+        # The two spaces are kept disjoint (explicit -> odd, auto -> even) so
+        # an explicit seed can never collide with another request's
+        # server-assigned stream and silently produce its image.
         indices = np.asarray(
-            [r.seed if r.seed is not None else 0x5E4E + p.index for r, p in zip(reqs, batch)]
+            [int(r.seed) * 2 + 1 if r.seed is not None else (0x5E4E + p.index) * 2
+             for r, p in zip(reqs, batch)]
             + [0] * (self.max_batch - n),
             np.int64,
         )
@@ -187,7 +263,7 @@ class InferenceServer:
         except Exception as e:  # deliver the failure to every caller
             self.stats["errors"] += len(batch)
             for p in batch:
-                p.future.set_exception(e)
+                self._resolve(p, exc=e)
             return
         wall = time.perf_counter() - t0
         self.stats["requests"] += len(batch)
@@ -195,11 +271,9 @@ class InferenceServer:
         self.stats["batches"] += 1
         self.stats["batch_seconds"] += wall
         for i, p in enumerate(batch):
-            p.future.set_result(
-                {
-                    "image": np.asarray(images[i]),
-                    "execution_time": exec_time,
-                    "batch_size": n,
-                    "nfe": self.pipe.num_timesteps,
-                }
-            )
+            self._resolve(p, result={
+                "image": np.asarray(images[i]),
+                "execution_time": exec_time,
+                "batch_size": n,
+                "nfe": self.pipe.num_timesteps,
+            })

@@ -11,7 +11,11 @@ import pytest
 
 from sonicdiffusionbayeslab_tpu.registry import load_all_plugins, models_registry
 from sonicdiffusionbayeslab_tpu.schedulers import DPMSolverScheduler
-from sonicdiffusionbayeslab_tpu.serving import GenerateRequest, InferenceServer
+from sonicdiffusionbayeslab_tpu.serving import (
+    GenerateRequest,
+    InferenceServer,
+    ServerOverloadedError,
+)
 
 
 @pytest.fixture(scope="module")
@@ -141,6 +145,102 @@ def test_http_server_end_to_end(pipe):
     finally:
         httpd.shutdown()
         ready.inference.shutdown(wait=False)  # type: ignore[attr-defined]
+
+
+class _BlockingPipe:
+    """Duck-typed pipe whose device step blocks until released — makes
+    overload/timeout behavior deterministic without timing the real model."""
+
+    num_timesteps = 2
+
+    def __init__(self, delay_s=None):
+        self.release = threading.Event()
+        self.delay_s = delay_s
+        self.calls = 0
+
+    def __call__(self, prompts, **kw):
+        self.calls += 1
+        if self.delay_s is not None:
+            time.sleep(self.delay_s)
+        else:
+            assert self.release.wait(timeout=60), "test forgot to release the pipe"
+        n = len(prompts)
+        return np.zeros((n, 4, 4, 3), np.float32), 0.01, None
+
+
+def test_overload_rejects_submit(pipe):
+    """Backpressure: beyond max_pending, submit raises ServerOverloadedError
+    (the 429 analogue) instead of growing the queue without bound."""
+    fake = _BlockingPipe()
+    s = InferenceServer(fake, max_batch=1, max_wait_ms=1.0, max_pending=3)
+    try:
+        futs = [s.submit(GenerateRequest(f"p{i}", num_inference_steps=2))
+                for i in range(3)]
+        with pytest.raises(ServerOverloadedError, match="back off"):
+            s.submit(GenerateRequest("overflow", num_inference_steps=2))
+        assert s.stats["rejected"] == 1
+        fake.release.set()
+        outs = [f.result(timeout=60) for f in futs]
+        assert len(outs) == 3
+        # Capacity freed: submissions are accepted again.
+        assert s.submit(GenerateRequest("after", num_inference_steps=2)).result(60)
+    finally:
+        fake.release.set()
+        s.shutdown()
+
+
+def test_queue_wait_timeout(pipe):
+    """A request whose timeout_s elapses while waiting behind a slow batch
+    fails with TimeoutError; the server keeps serving."""
+    fake = _BlockingPipe()
+    s = InferenceServer(fake, max_batch=1, max_wait_ms=1.0)
+    try:
+        a = s.submit(GenerateRequest("a", num_inference_steps=2))
+        while fake.calls == 0:  # a is on "device", blocked
+            time.sleep(0.005)
+        b = s.submit(GenerateRequest("b", num_inference_steps=2, timeout_s=0.05))
+        time.sleep(0.15)  # b's queue-wait budget expires behind a
+        fake.release.set()
+        assert a.result(timeout=60)
+        with pytest.raises(TimeoutError, match="waited"):
+            b.result(timeout=60)
+        assert s.stats["timeouts"] == 1
+        assert s.submit(GenerateRequest("c", num_inference_steps=2)).result(60)
+    finally:
+        fake.release.set()
+        s.shutdown()
+
+
+def test_graceful_drain_serves_queued_then_stops(pipe):
+    """shutdown(drain=True) finishes everything already queued — zero lost
+    futures — then refuses new work."""
+    fake = _BlockingPipe(delay_s=0.02)
+    s = InferenceServer(fake, max_batch=2, max_wait_ms=1.0)
+    futs = [s.submit(GenerateRequest(f"p{i}", num_inference_steps=2))
+            for i in range(6)]
+    s.shutdown(wait=True, drain=True)
+    outs = [f.result(timeout=1) for f in futs]  # already resolved: no waiting
+    assert len(outs) == 6
+    with pytest.raises(RuntimeError, match="shut down"):
+        s.submit(GenerateRequest("late"))
+
+
+def test_load_64_concurrent_zero_lost(pipe):
+    """Overload soak (docs/SERVING.md claim): 64 concurrent requests at
+    max_batch 8 — every future resolves, none lost, queue stays bounded."""
+    s = InferenceServer(pipe, max_batch=8, max_wait_ms=30.0, max_pending=128)
+    try:
+        futs = [s.submit(GenerateRequest(f"prompt {i}", num_inference_steps=2))
+                for i in range(64)]
+        outs = [f.result(timeout=600) for f in futs]
+        assert len(outs) == 64
+        assert all(o["image"].shape == (16, 16, 3) for o in outs)
+        assert s.stats["requests"] == 64
+        assert s.stats["errors"] == 0 and s.stats["timeouts"] == 0
+        # Coalescing actually happened: far fewer batches than requests.
+        assert s.stats["batches"] <= 16
+    finally:
+        s.shutdown()
 
 
 def test_nonsquare_requests_group_by_shape(server):

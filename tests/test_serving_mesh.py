@@ -35,7 +35,9 @@ def test_serving_over_data_parallel_mesh():
     imgs, _, _ = single(
         [f"prompt {i}" for i in range(8)], num_inference_steps=3,
         guidance_scale=7.5, negative_prompt=[""] * 8,
-        sample_indices=np.arange(100, 108), key=jax.random.PRNGKey(0),
+        # Server seed mapping: explicit seed s -> RNG stream 2s+1 (disjoint
+        # from server-assigned even streams; serving/batcher.py).
+        sample_indices=np.arange(100, 108) * 2 + 1, key=jax.random.PRNGKey(0),
     )
     got = np.stack([o["image"] for o in outs])
     np.testing.assert_allclose(got, imgs, rtol=2e-4, atol=2e-4)
