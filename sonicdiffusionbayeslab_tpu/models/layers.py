@@ -101,6 +101,15 @@ class GroupNorm(nn.Module):
                     silu=self.silu, block_rows=block,
                 )
 
+        if os.environ.get("SDBL_GN_BARRIER"):
+            # Keep the fp32 stats reduction OUT of the producing conv's
+            # epilogue. The profiler shows conv+GN-stats "convert_reduce"
+            # fusions running at ~140 TFLOP/s vs ~185 for pure convs
+            # (docs/PERF.md breakdown): the epilogue reduce serializes VPU
+            # work against the MXU tiles. The barrier makes the conv pure;
+            # re-reading the activations for stats is bandwidth-cheap.
+            x = jax.lax.optimization_barrier(x)
+
         orig_dtype = x.dtype
         xf = x.astype(jnp.float32)
         shape = xf.shape
@@ -221,7 +230,9 @@ class GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # diffusers GEGLU applies torch F.gelu's default = EXACT erf gelu,
+        # not the tanh approximation jax.nn.gelu defaults to.
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
 
 
@@ -278,14 +289,21 @@ class SpatialTransformer(nn.Module):
 
 
 class Downsample(nn.Module):
+    """Strided 3x3 conv.  ``asymmetric_pad`` reproduces the SD VAE encoder's
+    convention (diffusers Downsample2D with use_conv=True, padding=0 followed
+    by F.pad (0,1,0,1)): zero rows/cols added on the RIGHT/BOTTOM only.  The
+    UNet's downsamplers use symmetric padding=1."""
+
     channels: int
+    asymmetric_pad: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        pad = ((0, 1), (0, 1)) if self.asymmetric_pad else 1
         return nn.Conv(
-            self.channels, (3, 3), strides=(2, 2), padding=1,
+            self.channels, (3, 3), strides=(2, 2), padding=pad,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
         )(x)
 

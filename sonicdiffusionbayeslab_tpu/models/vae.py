@@ -93,7 +93,8 @@ class Encoder(nn.Module):
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock(ch, name=f"down_{i}_res_{j}", **rkw)(h)
             if i < len(cfg.block_out_channels) - 1:
-                h = Downsample(ch, name=f"down_{i}_downsample", **kw)(h)
+                h = Downsample(ch, asymmetric_pad=True,
+                               name=f"down_{i}_downsample", **kw)(h)
         ch_top = cfg.block_out_channels[-1]
         h = ResnetBlock(ch_top, name="mid_res_0", **rkw)(h)
         h = AttnBlock2D(name="mid_attn", **kw)(h)
