@@ -44,6 +44,22 @@ def euler_sigmas(schedule: NoiseSchedule, ts: np.ndarray) -> np.ndarray:
     return np.concatenate([sig, [0.0]])
 
 
+def _x0_coeffs(s: float, prediction_type: str):
+    """x0 from the model output on the *scaled* input is equivalently a
+    linear function of the carried (unscaled) sigma-space x and the raw
+    output (diffusers EulerDiscrete/HeunDiscrete conversions):
+      eps-pred:  x0 = x - sigma * eps
+      v-pred:    x0 = x / (sigma^2+1) - sigma/sqrt(sigma^2+1) * v
+      sample:    x0 = model_output (already data space)"""
+    if prediction_type == "epsilon":
+        return (1.0, -s)
+    if prediction_type == "v_prediction":
+        return (1.0 / (s * s + 1.0), -s / np.sqrt(s * s + 1.0))
+    if prediction_type == "sample":
+        return (0.0, 1.0)
+    raise ValueError(f"unknown prediction_type {prediction_type!r}")
+
+
 def euler_rows(
     schedule: NoiseSchedule,
     ts: np.ndarray,
@@ -57,19 +73,7 @@ def euler_rows(
     rows: List[StepRow] = []
     for i, t in enumerate(float(x) for x in ts):
         s, s_next = sig[i], sig[i + 1]
-        # x0 from the model output on the *scaled* input is equivalently a
-        # linear function of the carried (unscaled) x and the raw output:
-        #   eps-pred:  x0 = x - sigma * eps
-        #   v-pred:    x0 = x / (sigma^2+1) - sigma/sqrt(sigma^2+1) * v
-        #   sample:    x0 = model_output (already data space)
-        if prediction_type == "epsilon":
-            cm = (1.0, -s)
-        elif prediction_type == "v_prediction":
-            cm = (1.0 / (s * s + 1.0), -s / np.sqrt(s * s + 1.0))
-        elif prediction_type == "sample":
-            cm = (0.0, 1.0)
-        else:
-            raise ValueError(f"unknown prediction_type {prediction_type!r}")
+        cm = _x0_coeffs(s, prediction_type)
 
         w_noise = 0.0
         if ancestral and s_next > 0:
@@ -119,36 +123,43 @@ def heun_rows(
 
     Both rows are linear in (x, saved, hist) — see plan.py.  The final
     transition (s' = 0) is a single Euler row, so NFE = 2*num_steps - 1.
+
+    The update weights act on the pushed x0 predictions (d1 = (x - m1)/s),
+    so they are prediction-type independent: v-prediction / sample support
+    is entirely in the per-row conversion coefficients (``_x0_coeffs``).
     """
-    if prediction_type != "epsilon":
-        raise NotImplementedError("heun rows support epsilon prediction only")
     sig = euler_sigmas(schedule, ts) if sigmas is None else np.asarray(sigmas, np.float64)
     rows: List[StepRow] = []
     for i, t in enumerate(float(x) for x in ts):
         s, s2 = sig[i], sig[i + 1]
         ratio = s2 / s
-        common = dict(cm_sample=1.0, cx_sample=1.0, push=True, scheduler="heun", tag=tag)
+        cs, ce = _x0_coeffs(s, prediction_type)
+        common = dict(push=True, scheduler="heun", tag=tag)
         if s2 == 0.0:  # last transition: plain Euler
             rows.append(StepRow(
                 timestep=t, in_scale=float(1.0 / np.sqrt(s * s + 1.0)),
                 w_sample=float(ratio), w_hist=(float(1.0 - ratio),),
-                cm_eps=float(-s), cx_eps=float(-s), **common,
+                cm_sample=float(cs), cm_eps=float(ce),
+                cx_sample=float(cs), cx_eps=float(ce), **common,
             ))
             continue
         t_next = float(ts[i + 1]) if i + 1 < len(ts) else 0.0
         rows.append(StepRow(  # predictor (Euler to s2), saves x
             timestep=t, in_scale=float(1.0 / np.sqrt(s * s + 1.0)),
             w_sample=float(ratio), w_hist=(float(1.0 - ratio),),
-            cm_eps=float(-s), cx_eps=float(-s), save_cur=True, **common,
+            cm_sample=float(cs), cm_eps=float(ce),
+            cx_sample=float(cs), cx_eps=float(ce), save_cur=True, **common,
         ))
         half = (s2 - s) / 2.0
+        cs2, ce2 = _x0_coeffs(s2, prediction_type)
         rows.append(StepRow(  # corrector at s2 from the saved start sample
             timestep=t_next, in_scale=float(1.0 / np.sqrt(s2 * s2 + 1.0)),
             w_sample=float(half / s2),
             w_saved=float(1.0 + half / s),
             w_hist=(float(-half / s2), float(-half / s)),
             s_x=0.0, s_saved=1.0,
-            cm_eps=float(-s2), cx_eps=float(-s2), **common,
+            cm_sample=float(cs2), cm_eps=float(ce2),
+            cx_sample=float(cs2), cx_eps=float(ce2), **common,
         ))
     return rows
 

@@ -10,6 +10,7 @@ and invisible to XLA (the compiled scan is identical for every composition).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Sequence
 
 import numpy as np
@@ -184,11 +185,19 @@ def _interleave_plan_reference(
       own ``set_timesteps(n // solver_order)`` schedule
       (src/models.py:888-894 + diffusers DDIM ``prev_timestep``).
 
-    Residual micro-divergence (documented): the reference converts each
-    cross-pushed ring entry with the *receiving* scheduler's current sigma;
-    the shared ring here stores the emitting row's conversion.  This affects
-    only multistep history weighting, never the timestep/noise-level
-    sequence (the SURVEY §7 parity bar).
+    Cross-push conversion (closes the r2 residual divergence): the reference
+    converts each inter step's ring entry with the *receiving* (main)
+    scheduler's current sigma and the POST-step latents
+    (``convert_model_output(noise_pred, sample=latents)`` after the inter
+    ``step()``, src/models.py:1010-1031; sigma from
+    ``self.sigmas[self.step_index]`` = main's ladder position p0 + j after j
+    main steps, src/schedulers.py:40-41,179).  The post-step latents are
+    themselves linear in (sample, eps) — z' = ws*x + we*eps from the DDIM
+    row — so the exact reference entry is expressible in row form:
+    ``cm_sample = cmr_s*ws``, ``cm_eps = cmr_s*we + cmr_e`` with (cmr_s,
+    cmr_e) the receiver's conversion at p0 + j.  Requires eta == 0 (the
+    reference default): an ancestral inter step would put noise into the
+    pushed entry, which the linear row cannot carry.
     """
     from sonicdiffusionbayeslab_tpu.schedulers.ddim import ddim_transition_row
     from sonicdiffusionbayeslab_tpu.schedulers.dpm import dpm_rows, make_ladder, simulate_orders
@@ -244,19 +253,54 @@ def _interleave_plan_reference(
         **main._kw(),
     )
 
+    if float(getattr(inter, "eta", 0.0)) != 0.0:
+        raise NotImplementedError(
+            "interleave mode='reference' with eta > 0: the reference pushes "
+            "the POST-step latents into main's ring (src/models.py:1025-1031), "
+            "which would carry the ancestral noise — inexpressible as a "
+            "linear coefficient row. Use eta=0 (the reference default) or "
+            "mode='ladder'."
+        )
+
     n_inter = max(n // order, 1)
     stride = main.config.num_train_timesteps // n_inter
     rows: List[StepRow] = [None] * len(entries)  # type: ignore[list-item]
     for (k, _), row in zip(main_entries, main_rows):
         rows[k] = row
+    main_seen = 0
+    pred = main.config.prediction_type
+    is_pp = main.algorithm_type.endswith("++")
     for k, (_, t, owner) in enumerate(entries):
-        if owner == "inter":
-            prev_t = t - stride
-            rows[k] = ddim_transition_row(
-                inter.schedule, t, prev_t if prev_t >= 0 else -1,
-                eta=inter.eta, prediction_type=inter.config.prediction_type,
-                tag="inter-ref",
-            )
+        if owner == "main":
+            main_seen += 1
+            continue
+        prev_t = t - stride
+        row = ddim_transition_row(
+            inter.schedule, t, prev_t if prev_t >= 0 else -1,
+            eta=inter.eta, prediction_type=inter.config.prediction_type,
+            tag="inter-ref",
+        )
+        # Receiver-sigma cross-push (docstring): main's conversion at its
+        # current ladder position p0 + main_seen, applied to the POST-step
+        # latents z' = ws*x + we*eps.
+        rp = p0 + main_seen
+        a_r, s_r = float(ladder.alpha[rp]), float(ladder.sigma_t[rp])
+        if pred == "epsilon":
+            cmr = (1.0 / a_r, -s_r / a_r) if is_pp else (0.0, 1.0)
+        elif pred == "v_prediction":
+            cmr = (a_r, -s_r) if is_pp else (s_r, a_r)
+        elif pred == "sample":
+            cmr = (0.0, 1.0) if is_pp else (1.0 / s_r, -a_r / s_r)
+        else:
+            raise ValueError(f"unknown prediction_type {pred!r}")
+        # Non-++ eps conversion ignores the sample entirely (ring holds eps),
+        # in which case this reduces to the plain model output.
+        ws, we = float(row.w_sample), float(row.w_eps)
+        rows[k] = dataclasses.replace(
+            row,
+            cm_sample=cmr[0] * ws,
+            cm_eps=cmr[0] * we + cmr[1],
+        )
     return stack_rows(
         rows,
         name=f"interleave-ref[{main.NAME}+{inter.NAME}]"

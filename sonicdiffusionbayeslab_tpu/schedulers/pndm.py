@@ -56,8 +56,10 @@ def pndm_rows(
     prediction_type: str = "epsilon",
     tag: str = "",
 ) -> List[StepRow]:
-    if prediction_type != "epsilon":
-        raise NotImplementedError("PNDM/PLMS rows support epsilon prediction only")
+    if prediction_type not in ("epsilon", "v_prediction"):
+        raise NotImplementedError(
+            f"PNDM/PLMS rows support epsilon and v_prediction, got {prediction_type!r}"
+        )
     T = schedule.config.num_train_timesteps
     ratio = T // num_steps
     ts = plms_timesteps(num_steps, T, schedule.config.steps_offset)
@@ -78,21 +80,36 @@ def pndm_rows(
             save_cur = k == 0
             ets_len = min(ets_len + 1, 4)
             ab = _AB[ets_len]
-            ab_eps, ab_hist = 0.0, ab  # hist[0] is the just-pushed current eps
+            ab_eps, ab_hist = 0.0, ab  # hist[0] is the just-pushed current output
         c_sample, c_eps = _prev_sample_coeffs(schedule, t_used, prev_used)
+        # diffusers PNDM v-prediction semantics: the ets ring stores RAW v
+        # outputs; the v -> eps conversion is applied ONCE to the AB-combined
+        # output inside _get_prev_sample, using the (k==1: shifted) t_used
+        # and the base sample (k==1: the saved one):
+        #   eps_combined = e_s * base + e_e * v_combined
+        if prediction_type == "v_prediction":
+            acp_u = float(schedule.acp(t_used))
+            e_s, e_e = float(np.sqrt(1.0 - acp_u)), float(np.sqrt(acp_u))
+        else:
+            e_s, e_e = 0.0, 1.0
         # x0 capture for introspection parity (PNDM itself never exposes it).
         acp_t = float(schedule.acp(t))
+        if prediction_type == "v_prediction":
+            cx = (float(np.sqrt(acp_t)), float(-np.sqrt(1.0 - acp_t)))
+        else:
+            cx = (float(1.0 / np.sqrt(acp_t)),
+                  float(-np.sqrt(1.0 - acp_t) / np.sqrt(acp_t)))
         rows.append(
             StepRow(
                 timestep=t,
-                w_sample=float(c_sample),
-                w_eps=float(c_eps * ab_eps),
-                w_hist=tuple(float(c_eps * a) for a in ab_hist),
+                w_sample=float(c_sample + c_eps * e_s),
+                w_eps=float(c_eps * e_e * ab_eps),
+                w_hist=tuple(float(c_eps * e_e * a) for a in ab_hist),
                 w_noise=0.0,
                 cm_sample=0.0,
-                cm_eps=1.0,  # ring stores raw epsilon
-                cx_sample=float(1.0 / np.sqrt(acp_t)),
-                cx_eps=float(-np.sqrt(1.0 - acp_t) / np.sqrt(acp_t)),
+                cm_eps=1.0,  # ring stores the raw model output (eps or v)
+                cx_sample=cx[0],
+                cx_eps=cx[1],
                 push=push,
                 use_saved=use_saved,
                 save_cur=save_cur,

@@ -241,6 +241,41 @@ def test_heun_plan_matches_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
 
+def test_heun_vpred_matches_oracle():
+    """Heun with v_prediction (diffusers HeunDiscrete conversion:
+    x0 = v * (-s/sqrt(s^2+1)) + x/(s^2+1), with s the first/second-order
+    sigma) — closes the SD-2.x capability hole (VERDICT r2 #8)."""
+    from sonicdiffusionbayeslab_tpu.schedulers import HeunScheduler
+
+    schedule, ts, x_unit, _ = _toy(6)
+
+    def v_fn(t, scaled):
+        return np.tanh(scaled) * 0.4 + np.cos(t / 90.0) * 0.05
+
+    def oracle():
+        sig = euler_sigmas(schedule, ts)
+        x = np.asarray(x_unit, np.float64) * init_noise_sigma(schedule, ts)
+        for i, t in enumerate(float(v) for v in ts):
+            s, s2 = sig[i], sig[i + 1]
+            v1 = v_fn(t, x / np.sqrt(s * s + 1.0))
+            x0_1 = v1 * (-s / np.sqrt(s * s + 1.0)) + x / (s * s + 1.0)
+            d1 = (x - x0_1) / s
+            x_mid = x + (s2 - s) * d1
+            if s2 == 0.0:
+                x = x_mid
+                continue
+            t2 = float(ts[i + 1])
+            v2 = v_fn(t2, x_mid / np.sqrt(s2 * s2 + 1.0))
+            x0_2 = v2 * (-s2 / np.sqrt(s2 * s2 + 1.0)) + x_mid / (s2 * s2 + 1.0)
+            d2 = (x_mid - x0_2) / s2
+            x = x + (s2 - s) * 0.5 * (d1 + d2)
+        return x
+
+    plan = HeunScheduler(prediction_type="v_prediction").build_plan(6)
+    got = reference_apply(plan, x_unit, lambda i, t, xin: v_fn(t, xin))
+    np.testing.assert_allclose(got, oracle(), rtol=1e-10, atol=1e-12)
+
+
 def test_heun_more_accurate_than_euler():
     """On a curved model Heun's endpoint is closer to a fine-grid Euler
     reference.  Trailing spacing so every grid covers the same sigma range

@@ -255,6 +255,70 @@ def test_interleave_reference_mode_side_by_side(capsys):
     assert bool(jnp.isfinite(out).all())
 
 
+def test_interleave_reference_cross_push_uses_receiver_sigma():
+    """The ring entry pushed after an inter step must equal the REFERENCE's
+    push exactly (closes VERDICT r2 item 5): convert_model_output on the
+    POST-step latents with MAIN's sigma at its current ladder position
+    p0 + j (src/models.py:1025-1031; sigma index src/schedulers.py:40-41).
+
+    Checked at tensor level: for random (x, eps), the row's linear
+    m = cm_sample*x + cm_eps*eps must match (z' - sigma_r*eps)/alpha_r
+    where z' is the DDIM inter step's own output."""
+    from sonicdiffusionbayeslab_tpu.schedulers.dpm import make_ladder
+
+    main = DPMSolverScheduler(solver_order=2)
+    inter = DDIMScheduler()
+    n, windows = 20, [2, 3]
+    plan = interleave_plan(main, inter, n, windows, mode="reference")
+
+    ts = main.timesteps(n)
+    order = 2
+    entries = []
+    for i, t in enumerate(int(x) for x in ts):
+        if i // order in set(windows):
+            if i % order == 0:
+                entries.append((i, t, "inter"))
+        else:
+            entries.append((i, t, "main"))
+    lad = make_ladder(main.schedule, ts, main.final_sigmas_type)
+    p0 = next(e[0] for e in entries if e[2] == "main")
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4, 4, 4))
+    eps = rng.standard_normal((2, 4, 4, 4))
+
+    main_seen = 0
+    checked = 0
+    for k, (_, t, owner) in enumerate(entries):
+        if owner == "main":
+            main_seen += 1
+            continue
+        row = plan.rows[k]
+        # z' = the inter DDIM step's own update of (x, eps)
+        z_post = row.w_sample * x + row.w_eps * eps
+        # reference push: main's epsilon->x0 conversion at position p0+j
+        a_r, s_r = float(lad.alpha[p0 + main_seen]), float(lad.sigma_t[p0 + main_seen])
+        want = (z_post - s_r * eps) / a_r
+        got = row.cm_sample * x + row.cm_eps * eps
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+        # and it genuinely differs from the emitting (DDIM-at-t) conversion
+        a_e = float(np.sqrt(inter.schedule.acp(t)))
+        s_e = float(np.sqrt(1.0 - inter.schedule.acp(t)))
+        emit = (x - s_e * eps) / a_e
+        assert np.abs(want - emit).max() > 1e-6
+        checked += 1
+    assert checked == len(windows)
+
+
+def test_interleave_reference_mode_eta_rejected():
+    """eta > 0 would put ancestral noise into the cross-pushed ring entry —
+    inexpressible as a linear row; reference mode must refuse."""
+    main = DPMSolverScheduler(solver_order=2)
+    inter = DDIMScheduler(eta=0.5)
+    with pytest.raises(NotImplementedError, match="eta"):
+        interleave_plan(main, inter, 20, [2, 3], mode="reference")
+
+
 def test_interleave_reference_mode_unrunnable_combos_raise():
     """The reference itself crashes for a DPM inter (uninitialized
     _step_index in the cross-ring convert, src/models.py:1025-1053) and for

@@ -285,6 +285,59 @@ def test_pndm_rows_match_naive(steps):
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
 
 
+def naive_plms_vpred(ns, num_steps, x, v_fn):
+    """diffusers PNDM v_prediction semantics: ets stores RAW v outputs; the
+    v -> eps conversion happens once on the AB-combined output inside
+    _get_prev_sample, with the (k==1: shifted) t_used and base sample."""
+    ratio = 1000 // num_steps
+    asc = np.arange(num_steps) * ratio + ns.config.steps_offset
+    seq = np.concatenate([asc[:-1], asc[-2:-1], asc[-1:]])[::-1]
+    ets, cur_sample = [], None
+
+    def prev_sample(sample, t_used, prev_used, v_comb):
+        acp_t = ns.acp(t_used)
+        acp_prev = ns.acp_or_final(prev_used)
+        eps = np.sqrt(acp_t) * v_comb + np.sqrt(1 - acp_t) * sample
+        c = np.sqrt(acp_prev / acp_t)
+        denom = acp_t * np.sqrt(1 - acp_prev) + np.sqrt(acp_t * (1 - acp_t) * acp_prev)
+        return c * sample - (acp_prev - acp_t) * eps / denom
+
+    for k, t in enumerate(int(v) for v in seq):
+        out = v_fn(k, t, x)
+        if k != 1:
+            ets.append(out)
+        if k == 1:
+            t_used, prev_used = t + ratio, t
+            used = (out + ets[-1]) / 2
+            sample = cur_sample
+        else:
+            t_used, prev_used = t, t - ratio
+            sample = x
+            if len(ets) == 1 and k == 0:
+                used = out
+                cur_sample = x
+            elif len(ets) == 2:
+                used = (3 * ets[-1] - ets[-2]) / 2
+            elif len(ets) == 3:
+                used = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+            else:
+                used = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]) / 24
+        x = prev_sample(sample, t_used, prev_used, used)
+    return x
+
+
+@pytest.mark.parametrize("steps", [5, 10])
+def test_pndm_vpred_rows_match_naive(steps):
+    """PNDM with v_prediction (SD-2.x default pipeline scheduler support —
+    VERDICT r2 #8)."""
+    plan = PNDMScheduler(prediction_type="v_prediction").build_plan(steps)
+    v_fn = random_eps_fn(17)
+    x = path_sample(int(plan.timesteps[0]))
+    got = reference_apply(plan, x, v_fn)
+    want = naive_plms_vpred(NS, steps, x, v_fn)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
 # -------------------------------------------------------- x0 introspection
 def test_x0_capture_is_exact_with_oracle():
     plan = DPMSolverScheduler(solver_order=2).build_plan(10)
