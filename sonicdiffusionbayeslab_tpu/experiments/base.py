@@ -153,10 +153,14 @@ class BaseMethod:
     def generate(self, grid_index: int = 0, use_x0: bool = False, **call_kw) -> Dict[str, Any]:
         batch_size = self.config.inference.get("batch_size", 8)
         batch_count = self.config.inference.get("batch_count")
-        # x0 capture breadth: reference decodes the captured x0 for the whole
-        # batch (src/models.py:287-302); inference.x0_samples narrows it (cost
-        # knob — each captured sample adds steps x 1 VAE decodes).
+        # x0 capture breadth: the reference captures and decodes x0 for EVERY
+        # batch call (src/models.py:287-302) — that is the default here too.
+        # Two cost knobs narrow it: inference.x0_samples (samples per batch;
+        # each captured sample adds steps x 1 VAE decodes) and
+        # inference.x0_batches (how many leading batches capture; the r1/r2
+        # behavior was the equivalent of x0_batches: 1).
         x0_samples = self.config.inference.get("x0_samples")
+        x0_batches = self.config.inference.get("x0_batches")  # None = all
         guidance = call_kw.pop("guidance_scale", self.config.inference.get("guidance_scale", 7.5))
         self.time_metric.reset()
         gkey = rng_util.grid_key(self.key, grid_index)
@@ -171,7 +175,7 @@ class BaseMethod:
                 guidance_scale=guidance,
                 key=rng_util.batch_key(gkey, 0),  # latents derive from indices
                 sample_indices=batch["index"],
-                use_x0=use_x0 and bi == 0,  # one x0 grid per grid point
+                use_x0=use_x0 and (x0_batches is None or bi < int(x0_batches)),
                 x0_samples=x0_samples,
                 **call_kw,
             )
