@@ -19,9 +19,9 @@ _BACKEND = None  # None = auto
 
 
 def set_attention_backend(name: Optional[str]) -> None:
-    """'xla' | 'pallas' | None (auto: pallas on TPU when shapes allow)."""
+    """'xla' | 'pallas' | 'tiered' | None (auto)."""
     global _BACKEND
-    if name not in (None, "xla", "pallas"):
+    if name not in (None, "xla", "pallas", "tiered"):
         raise ValueError(f"unknown attention backend {name!r}")
     _BACKEND = name
 
@@ -55,14 +55,30 @@ def dot_product_attention(q, k, v, mask=None):
     axis would build on (SURVEY §5 long-context note).
     """
     backend = get_attention_backend()
-    if backend == "pallas" and mask is None:
+    if backend in ("pallas", "tiered") and mask is None:
         from sonicdiffusionbayeslab_tpu.ops.flash_attention import (
             fits_vmem,
             flash_attention,
         )
 
+        if backend == "tiered" and not _xla_spills_scores(q, k):
+            return _xla_attention(q, k, v, mask=mask)
         if fits_vmem(q, k):
             return flash_attention(q, k, v)
         # e.g. the VAE decoder's single-head D=512 mid attention: the
         # single-pass kernel's full-K/V block exceeds scoped VMEM.
     return _xla_attention(q, k, v, mask=mask)
+
+
+def _xla_spills_scores(q, k) -> bool:
+    """Predicate for the 'tiered' backend: dispatch Pallas only where XLA
+    materializes fp32 [B,H,N,M] scores to HBM.
+
+    Measured on v5e (docs/PERF.md per-op breakdown): at N=M=4096 XLA emits a
+    single flash-like kOutput fusion at ~82% of the D=40 MXU ceiling — hard
+    to beat; at N=M=1024 (and 256) it splits the attention into two
+    HBM-bandwidth-bound fusions around an fp32 score tensor (0.5 GB at the
+    hero shape), which the flash kernel avoids entirely.  Cross-attention
+    (M=77) is too small to matter either way."""
+    N, M = q.shape[1], k.shape[1]
+    return M >= 128 and N <= 2048
