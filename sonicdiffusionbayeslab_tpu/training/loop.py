@@ -111,45 +111,92 @@ def run_training(config) -> Dict[str, Any]:
 
             uncond = shard_batch(mesh, uncond)
 
+    def prep(step_i: int, batch) -> tuple:
+        """Host-side batch prep: image decode -> VAE encode + tokenize ->
+        text encode (+ sharding).  Runs ahead of the device step on the
+        prefetch thread below."""
+        images = jnp.asarray(batch["image"], jnp.float32)
+        enc_key = jax.random.fold_in(key, 1000 + step_i)
+        latents = engine.encode_image_fn(params["vae"], images, enc_key)
+        ids = pipe.tokenizer(list(batch["prompt"]))
+        context = engine.encode_prompts(params, ids)
+        hint = None
+        if mode == "diffusion" and trainer.target == "controlnet":
+            # Identity conditioning: the raw image is the hint. Real
+            # control maps (canny/depth/pose) are precomputed offline
+            # into the image dir of a dedicated dataset.
+            hint = images
+        if mesh is not None:
+            from sonicdiffusionbayeslab_tpu.parallel import shard_batch
+
+            latents, context = shard_batch(mesh, latents, context)
+            if hint is not None:
+                hint = shard_batch(mesh, hint)
+        return latents, context, hint
+
+    def raw_batches():
+        step_i = 0
+        while step_i < num_steps:
+            for batch in batched(dataset, batch_size, drop_remainder=True):
+                if step_i >= num_steps:
+                    return
+                yield step_i, batch
+                step_i += 1
+
+    # Overlapped input pipeline (VERDICT r2 #7): a producer thread runs the
+    # host-heavy prep (PNG decode, tokenization, encode dispatch) ahead of
+    # the device step — the inference prefetcher pattern (data/dataset.py).
+    # training.prefetch = queue depth; 0 = inline (debugging).
+    prefetch = int(tcfg_raw.pop("prefetch", 2))
+    if prefetch:
+        import queue as queue_mod
+        import threading
+
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=prefetch)
+
+        def producer():
+            try:
+                for step_i, batch in raw_batches():
+                    q.put(prep(step_i, batch))
+            except BaseException as e:  # surface in the consumer, not silently
+                q.put(e)
+                return
+            q.put(None)
+
+        threading.Thread(target=producer, daemon=True, name="sdbl-train-prefetch").start()
+
+        def prepared():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+
+        stream = prepared()
+    else:
+        stream = (prep(step_i, batch) for step_i, batch in raw_batches())
+
     losses: list = []
     step = 0
     t0 = time.perf_counter()
-    while step < num_steps:
-        for batch in batched(dataset, batch_size, drop_remainder=True):
-            if step >= num_steps:
-                break
-            images = jnp.asarray(batch["image"], jnp.float32)
-            enc_key = jax.random.fold_in(key, 1000 + step)
-            latents = engine.encode_image_fn(params["vae"], images, enc_key)
-            ids = pipe.tokenizer(list(batch["prompt"]))
-            context = engine.encode_prompts(params, ids)
-            hint = None
-            if mode == "diffusion" and trainer.target == "controlnet":
-                # Identity conditioning: the raw image is the hint. Real
-                # control maps (canny/depth/pose) are precomputed offline
-                # into the image dir of a dedicated dataset.
-                hint = images
-            if mesh is not None:
-                from sonicdiffusionbayeslab_tpu.parallel import shard_batch
-
-                latents, context = shard_batch(mesh, latents, context)
-                if hint is not None:
-                    hint = shard_batch(mesh, hint)
-            if mode == "distill":
-                state, metrics = trainer.distill_step(state, params, latents, context,
-                                                      uncond, key)
-            else:
-                state, metrics = trainer.train_step(state, params, latents, context, key,
-                                                    hint=hint)
-            step += 1
-            if step % log_every == 0 or step == num_steps:
-                loss = float(metrics["loss"])
-                losses.append(loss)
-                rate = step / (time.perf_counter() - t0)
-                print(f"step {step}/{num_steps} loss {loss:.4f} "
-                      f"grad_norm {float(metrics['grad_norm']):.3f} ({rate:.2f} it/s)")
-            if save_every and save_dir and step % save_every == 0:
-                _save(trainer, state, params, engine, Path(save_dir), step)
+    for latents, context, hint in stream:
+        if mode == "distill":
+            state, metrics = trainer.distill_step(state, params, latents, context,
+                                                  uncond, key)
+        else:
+            state, metrics = trainer.train_step(state, params, latents, context, key,
+                                                hint=hint)
+        step += 1
+        if step % log_every == 0 or step == num_steps:
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            rate = step / (time.perf_counter() - t0)
+            print(f"step {step}/{num_steps} loss {loss:.4f} "
+                  f"grad_norm {float(metrics['grad_norm']):.3f} ({rate:.2f} it/s)")
+        if save_every and save_dir and step % save_every == 0:
+            _save(trainer, state, params, engine, Path(save_dir), step)
     if save_dir:
         _save(trainer, state, params, engine, Path(save_dir), step, final=True)
     return {"losses": losses, "state": state, "trainer": trainer, "params": params}

@@ -20,6 +20,7 @@ float64-precomputed ``alphas_cumprod`` table the samplers use
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -51,6 +52,12 @@ class TrainConfig:
     # batch must carry a control hint image).
     train_target: str = "unet"
     controlnet_scale: float = 1.0
+    # Rematerialization: keep only matmul outputs across the UNet forward
+    # (jax.checkpoint with dots-saveable policy) so the backward recomputes
+    # the elementwise/norm intermediates.  Trades ~1 extra forward's FLOPs
+    # for the activation memory that otherwise blocks full-UNet fine-tuning
+    # at 512px (VERDICT r2 #7).
+    remat: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -175,22 +182,39 @@ class DiffusionTrainer:
             else:
                 w = jnp.ones((B,), jnp.float32)
 
+            maybe_remat = (
+                functools.partial(
+                    jax.checkpoint,
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                )
+                if cfg.remat
+                else (lambda f: f)
+            )
+
             def loss_fn(trainable):
                 x_in = noisy.astype(unet.dtype)
                 t_in = t.astype(jnp.float32)
                 c_in = context.astype(unet.dtype)
                 if target == "controlnet":
-                    residuals = controlnet.apply(
-                        {"params": trainable}, x_in, t_in, c_in, hint,
-                        cfg.controlnet_scale,
-                    )
-                    pred = unet.apply(
-                        {"params": frozen_unet}, x_in, t_in, c_in,
-                        control_residuals=residuals,
-                    ).astype(jnp.float32)
+
+                    @maybe_remat
+                    def fwd(tr, fz, x, tt, c, h):
+                        residuals = controlnet.apply(
+                            {"params": tr}, x, tt, c, h, cfg.controlnet_scale
+                        )
+                        return unet.apply(
+                            {"params": fz}, x, tt, c, control_residuals=residuals
+                        ).astype(jnp.float32)
+
+                    pred = fwd(trainable, frozen_unet, x_in, t_in, c_in, hint)
                 else:
                     p = effective_unet_params(frozen_unet, trainable)
-                    pred = unet.apply({"params": p}, x_in, t_in, c_in).astype(jnp.float32)
+
+                    @maybe_remat
+                    def fwd(pp, x, tt, c):
+                        return unet.apply({"params": pp}, x, tt, c).astype(jnp.float32)
+
+                    pred = fwd(p, x_in, t_in, c_in)
                 per = jnp.mean((pred - y) ** 2, axis=(1, 2, 3))
                 return jnp.mean(w * per)
 

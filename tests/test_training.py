@@ -241,6 +241,69 @@ def test_controlnet_training(engine, params, batch):
         tr.train_step(st, params, lat, ctx, jax.random.PRNGKey(0))
 
 
+def test_remat_same_loss_less_memory_profile(engine, params, batch):
+    """remat=True must not change the math — same loss trajectory as the
+    plain step (jax.checkpoint recomputes, never alters, the forward)."""
+    lat, ctx = batch
+    key = jax.random.PRNGKey(42)
+    tr_a = DiffusionTrainer(engine, TrainConfig(learning_rate=1e-3))
+    tr_b = DiffusionTrainer(engine, TrainConfig(learning_rate=1e-3, remat=True))
+    st_a, st_b = tr_a.init_state(params), tr_b.init_state(params)
+    for _ in range(3):
+        st_a, m_a = tr_a.train_step(st_a, params, lat, ctx, key)
+        st_b, m_b = tr_b.train_step(st_b, params, lat, ctx, key)
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+    # Parameters advanced to the same place up to Adam's normalization of
+    # fp32 recompute noise (updates are lr-scaled ~1e-3; allow a small
+    # fraction of that).
+    la = jax.tree_util.tree_leaves(st_a.trainable)
+    lb = jax.tree_util.tree_leaves(st_b.trainable)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_run_training_prefetch_matches_inline(tmp_path):
+    """The overlapped input pipeline (training.prefetch) must produce the
+    SAME loss sequence as inline prep — same per-step RNG, same order."""
+    import json
+
+    import yaml
+    from PIL import Image
+
+    from sonicdiffusionbayeslab_tpu.config import load_config
+    from sonicdiffusionbayeslab_tpu.training.loop import run_training
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    prompts = {}
+    for i in range(4):
+        f = f"im_{i}.png"
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(img_dir / f)
+        prompts[f] = f"synthetic image {i}"
+    pf = tmp_path / "prompts.json"
+    pf.write_text(json.dumps(prompts))
+
+    base = {
+        "experiment": {"seed": 29},
+        "model": {"model_name": "stable_diffusion_model", "pretrained_model": "x",
+                  "tiny": True, "image_size": 64, "dtype": "float32"},
+        "dataset": {"img_dataset": str(img_dir), "prompts": str(pf), "image_size": 64},
+        "training": {"num_steps": 4, "batch_size": 2, "log_every": 1,
+                     "learning_rate": 1e-3, "lora_rank": 2},
+    }
+    outs = {}
+    for depth in (0, 2):
+        cfg = json.loads(json.dumps(base))
+        cfg["training"]["prefetch"] = depth
+        p = tmp_path / f"train_{depth}.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        outs[depth] = run_training(load_config(str(p)))["losses"]
+    assert len(outs[0]) == len(outs[2]) >= 4
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-6, atol=1e-7)
+
+
 def test_run_training_from_config(tmp_path):
     """End-to-end config loop on a synthetic image+caption dataset."""
     import json
