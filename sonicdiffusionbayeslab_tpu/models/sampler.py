@@ -268,6 +268,14 @@ class StableDiffusionEngine:
         # effect instead of silently hitting a stale cached trace.
         unroll: int = 1,
         donate: bool = False,
+        # UNet micro-batching (SDBL_UNET_MICROBATCH=k / inference.
+        # unet_microbatch): run the (CFG-doubled) UNet batch as k sequential
+        # chunks via lax.map inside the scan body.  Peak activation memory
+        # divides by k with ZERO recompute — the fix for the reference's
+        # batch-32 protocol point, where one 64-wide UNet forward forces XLA
+        # into heavy rematerialization (docs/PERF.md round-3 notes).  Chunks
+        # stay MXU-efficient down to ~batch 8.
+        microbatch: int = 0,
     ):
         unet = self.unet
         controlnet = self.controlnet
@@ -328,6 +336,48 @@ class StableDiffusionEngine:
                     noise_pred = unet.apply(
                         {"params": unet_params}, lat_in, tb, embeds, added,
                         control_residuals=residuals, **ip_kw,
+                    )
+                    new_cache = None
+                elif microbatch > 1:
+                    # Chunked UNet: lax.map serializes k sub-batches, so the
+                    # live activation set is one chunk's, not the full
+                    # batch's.  Per-chunk batch-shaped operands ride along;
+                    # embeds/added/tcond are chunked, everything else closes
+                    # over.  (Cache/control/IP paths keep the plain call —
+                    # guarded at the sample() entry.)
+                    MB = lat_in.shape[0]
+                    if MB % microbatch:
+                        raise ValueError(
+                            f"unet_microbatch {microbatch} must divide the "
+                            f"model batch {MB}"
+                        )
+
+                    def chunked(x):
+                        return x.reshape((microbatch, MB // microbatch) + x.shape[1:])
+
+                    chunk_args = {
+                        "lat": chunked(lat_in),
+                        "tb": chunked(tb),
+                        "emb": chunked(embeds),
+                    }
+                    if has_added:
+                        chunk_args["added_text"] = chunked(added["text_embeds"])
+                        chunk_args["added_ids"] = chunked(added["time_ids"])
+                    if use_tcond:
+                        chunk_args["tcond"] = chunked(ip_kw["timestep_cond"])
+
+                    def one_chunk(c):
+                        a = (
+                            {"text_embeds": c["added_text"], "time_ids": c["added_ids"]}
+                            if has_added else None
+                        )
+                        kw = {"timestep_cond": c["tcond"]} if use_tcond else {}
+                        return unet.apply(
+                            {"params": unet_params}, c["lat"], c["tb"], c["emb"], a, **kw
+                        )
+
+                    noise_pred = jax.lax.map(one_chunk, chunk_args).reshape(
+                        (MB,) + lat_in.shape[1:]
                     )
                     new_cache = None
                 else:
@@ -552,6 +602,12 @@ class StableDiffusionEngine:
             added_args = dict(added_text=pos, added_ids=ids)
 
         donate = bool(os.environ.get("SDBL_DONATE"))
+        microbatch = int(os.environ.get("SDBL_UNET_MICROBATCH", "0"))
+        if microbatch > 1 and (use_cache or control is not None or ip_adapter is not None):
+            raise ValueError(
+                "SDBL_UNET_MICROBATCH composes with the plain/SDXL/LCM UNet "
+                "path only (not DeepCache/ControlNet/IP-Adapter)"
+            )
         fn = self._denoise_fn(
             plan.num_steps,
             plan.hist_depth,
@@ -571,6 +627,7 @@ class StableDiffusionEngine:
             use_tcond,
             int(os.environ.get("SDBL_SCAN_UNROLL", "1")),
             donate,
+            microbatch,
         )
         if donate and init_latents is not None:
             # Donation would invalidate the caller's buffer; give XLA a copy.

@@ -159,6 +159,33 @@ def test_sample_batch_invariant_latents(engine, params):
     )
 
 
+def test_unet_microbatch_matches_plain(engine, params, monkeypatch):
+    """SDBL_UNET_MICROBATCH chunks the CFG-doubled UNet batch via lax.map
+    (the batch-32 memory fix, docs/PERF.md) — outputs must be identical to
+    the plain path, and DeepCache composition must be refused loudly."""
+    from sonicdiffusionbayeslab_tpu.models.sampler import CachePlan
+
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    plan = DPMSolverScheduler(solver_order=2).build_plan(3)
+    embeds = engine.encode_prompts(params, tok(["a cat", "a dog", "x", "y"]))
+    neg = engine.encode_prompts(params, tok([""] * 4))
+    key = jax.random.PRNGKey(29)
+    kw = dict(guidance_scale=7.5, latent_hw=(8, 8))
+    plain = engine.sample(params, plan, embeds, neg, key, **kw)
+    monkeypatch.setenv("SDBL_UNET_MICROBATCH", "2")
+    chunked = engine.sample(params, plan, embeds, neg, key, **kw)
+    np.testing.assert_allclose(
+        np.asarray(chunked.images), np.asarray(plain.images), atol=2e-5
+    )
+    with pytest.raises(ValueError, match="MICROBATCH"):
+        engine.sample(params, plan, embeds, neg, key,
+                      cache_plan=CachePlan.every(3, 2), **kw)
+    # non-divisible chunking is an error, not silent truncation
+    monkeypatch.setenv("SDBL_UNET_MICROBATCH", "3")
+    with pytest.raises(ValueError, match="divide"):
+        engine.sample(params, plan, embeds, neg, key, **kw)
+
+
 def test_sample_with_deepcache(engine, params):
     tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
     plan = DPMSolverScheduler(solver_order=2).build_plan(6)
