@@ -237,10 +237,19 @@ class GEGLUFeedForward(nn.Module):
 
 
 class TransformerBlock(nn.Module):
-    """LN -> self-attn -> LN -> cross-attn -> LN -> GEGLU FF (pre-norm residuals)."""
+    """LN -> self-attn -> LN -> cross-attn -> LN -> GEGLU FF (pre-norm residuals).
+
+    ``cfg_tile``: CFG shared-prefix mode (docs/PERF.md) — ``x`` arrives as
+    the SINGLE latent copy [B, N, C] while ``context`` is the CFG-doubled
+    [2B, T, C].  Everything up to and including the self-attention is
+    computed once (the two CFG halves are bit-identical there: same
+    latents, same timestep) and tiled to 2B right before the
+    cross-attention, where the [neg|pos] contexts first diverge.
+    """
 
     num_heads: int
     head_dim: int
+    cfg_tile: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -253,6 +262,8 @@ class TransformerBlock(nn.Module):
             self.num_heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         x = x + attn("attn1")(ln("norm1")(x))
+        if self.cfg_tile:
+            x = jnp.concatenate([x, x], axis=0)
         x = x + attn("attn2")(ln("norm2")(x), context=context,
                               ip_context=ip_context, ip_scale=ip_scale)
         x = x + GEGLUFeedForward(
@@ -262,11 +273,16 @@ class TransformerBlock(nn.Module):
 
 
 class SpatialTransformer(nn.Module):
-    """Transformer2D over an NHWC feature map: GN -> proj_in -> blocks -> proj_out, residual."""
+    """Transformer2D over an NHWC feature map: GN -> proj_in -> blocks -> proj_out, residual.
+
+    ``cfg_tile``: CFG shared-prefix entry point — ``x`` is the single latent
+    copy [B, ...] while ``context`` is [2B, ...]; block 0 tiles to 2B right
+    before its cross-attention (see TransformerBlock.cfg_tile)."""
 
     num_heads: int
     head_dim: int
     depth: int = 1
+    cfg_tile: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -281,10 +297,15 @@ class SpatialTransformer(nn.Module):
         h = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(h)
         for i in range(self.depth):
             h = TransformerBlock(
-                self.num_heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                self.num_heads, self.head_dim,
+                cfg_tile=(self.cfg_tile and i == 0),
+                dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"block_{i}",
             )(h, context, ip_context=ip_context, ip_scale=ip_scale)
         h = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
+        if self.cfg_tile:
+            residual = jnp.concatenate([residual, residual], axis=0)
+            B = 2 * B
         return h.reshape(B, H, W, C) + residual
 
 

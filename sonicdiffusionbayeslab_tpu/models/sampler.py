@@ -276,6 +276,12 @@ class StableDiffusionEngine:
         # into heavy rematerialization (docs/PERF.md round-3 notes).  Chunks
         # stay MXU-efficient down to ~batch 8.
         microbatch: int = 0,
+        # CFG shared prefix (SDBL_CFG_PREFIX=1): the two CFG halves are
+        # bit-identical until the first cross-attention, so the UNet computes
+        # the prefix once at batch B and tiles at the divergence point
+        # (models/unet.py cfg_shared_prefix).  Exact same math, ~the first
+        # self-attention + leading convs deduplicated.
+        cfg_prefix: bool = False,
     ):
         unet = self.unet
         controlnet = self.controlnet
@@ -305,8 +311,13 @@ class StableDiffusionEngine:
                 lat = sched.latents
                 # Model-input scaling (scale_model_input; 1.0 for VP plans).
                 lat_model = lat * xs["in_scale"]
-                lat_in = jnp.concatenate([lat_model, lat_model]) if do_cfg else lat_model
-                lat_in = lat_in.astype(unet.dtype)
+                if cfg_prefix and do_cfg:
+                    # Shared-prefix mode: hand the UNet the SINGLE copy; it
+                    # tiles to 2B at the first cross-attention itself.
+                    lat_in = lat_model.astype(unet.dtype)
+                else:
+                    lat_in = jnp.concatenate([lat_model, lat_model]) if do_cfg else lat_model
+                    lat_in = lat_in.astype(unet.dtype)
 
                 tb = jnp.broadcast_to(xs["timestep"], (lat_in.shape[0],))
                 if use_cache:
@@ -379,6 +390,10 @@ class StableDiffusionEngine:
                     noise_pred = jax.lax.map(one_chunk, chunk_args).reshape(
                         (MB,) + lat_in.shape[1:]
                     )
+                    new_cache = None
+                elif cfg_prefix and do_cfg:
+                    noise_pred = unet.apply({"params": unet_params}, lat_in, tb, embeds,
+                                            added, cfg_shared_prefix=True)
                     new_cache = None
                 else:
                     noise_pred = unet.apply({"params": unet_params}, lat_in, tb, embeds,
@@ -464,6 +479,7 @@ class StableDiffusionEngine:
         cache_plan: Optional[CachePlan] = None,
         latent_hw: Tuple[int, int] = (64, 64),
         collect_x0: bool = False,
+        x0_decode: bool = True,  # False: keep x0 in the scan, skip decodes (perf isolation)
         x0_samples: Optional[int] = None,  # None = full batch (reference contract)
         decode: bool = True,
         mesh=None,
@@ -608,6 +624,18 @@ class StableDiffusionEngine:
                 "SDBL_UNET_MICROBATCH composes with the plain/SDXL/LCM UNet "
                 "path only (not DeepCache/ControlNet/IP-Adapter)"
             )
+        # CFG shared prefix: a pure perf knob (identical math), so it simply
+        # does not engage on paths it cannot deduplicate.
+        cfg_prefix = (
+            bool(os.environ.get("SDBL_CFG_PREFIX"))
+            and do_cfg
+            and not use_cache
+            and control is None
+            and ip_adapter is None
+            and added_cond is None
+            and not use_tcond
+            and microbatch <= 1
+        )
         fn = self._denoise_fn(
             plan.num_steps,
             plan.hist_depth,
@@ -628,6 +656,7 @@ class StableDiffusionEngine:
             int(os.environ.get("SDBL_SCAN_UNROLL", "1")),
             donate,
             microbatch,
+            cfg_prefix,
         )
         if donate and init_latents is not None:
             # Donation would invalidate the caller's buffer; give XLA a copy.
@@ -669,7 +698,12 @@ class StableDiffusionEngine:
 
         images = self.decode_fn(params["vae"], latents) if decode else None
         x0_images = None
-        if collect_x0:
+        if collect_x0 and not x0_decode:
+            # Raw x0 latents kept in the scan outputs but not decoded —
+            # the cost-isolation knob behind docs/PERF.md's protocol-gap
+            # decomposition (scan-output cost vs per-step decode cost).
+            pass
+        elif collect_x0:
             # x0_seq: [S, n, h, w, 4]. Decode per step (the reference's
             # shape, src/models.py:287-302): S dispatches of batch n through
             # ONE compiled decode — a single flattened [S*n] decode at the

@@ -178,6 +178,15 @@ class UNet2DCondition(nn.Module):
         # Guidance-embedding conditioning [B, time_cond_proj_dim] (full LCM
         # models; see guidance_scale_embedding in models/sampler.py).
         timestep_cond: Optional[jax.Array] = None,
+        # CFG shared prefix (docs/PERF.md): sample/timesteps arrive as the
+        # SINGLE latent copy [B] while encoder_hidden_states is the
+        # CFG-doubled [neg|pos] [2B].  The two CFG halves are bit-identical
+        # until the first cross-attention (same latents, same timestep), so
+        # conv_in, the leading resnets and the first self-attention run once
+        # at B and the activations tile to 2B where the contexts diverge.
+        # Output is [2B, ...] as usual.  Static flag: its own compiled
+        # program.
+        cfg_shared_prefix: bool = False,
     ):
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -220,21 +229,55 @@ class UNet2DCondition(nn.Module):
             )(add_in.astype(self.dtype))
         ctx = encoder_hidden_states.astype(self.dtype)
 
+        if cfg_shared_prefix:
+            if (added_cond is not None or ip_context is not None
+                    or cache is not None or return_cache
+                    or control_residuals is not None or timestep_cond is not None):
+                raise ValueError(
+                    "cfg_shared_prefix composes with the plain UNet path only "
+                    "(no SDXL added_cond / IP-Adapter / DeepCache / ControlNet "
+                    "/ timestep_cond)"
+                )
+            if ctx.shape[0] != 2 * sample.shape[0]:
+                raise ValueError(
+                    f"cfg_shared_prefix expects context batch "
+                    f"{ctx.shape[0]} == 2 x sample batch {sample.shape[0]}"
+                )
+
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in", **kw)(
             sample.astype(self.dtype)
         )
 
+        # CFG shared prefix: before the tile point activations are [B] while
+        # the time embedding / early skips stay [B]; after it everything is
+        # [2B].  These helpers tile the [B]-sized operands exactly where a
+        # [2B] activation meets them (no-ops when the flag is off).
+        def temb_for(hh, te):
+            if hh.shape[0] == 2 * te.shape[0]:
+                return jnp.concatenate([te, te], axis=0)
+            return te
+
+        def skip_for(hh, s):
+            if hh.shape[0] == 2 * s.shape[0]:
+                return jnp.concatenate([s, s], axis=0)
+            return s
+
         def res(ch, name):
-            return ResnetBlock(ch, name=name, **kw)
+            m = ResnetBlock(ch, name=name, **kw)
+            return lambda hh, te: m(hh, temb_for(hh, te))
 
         ip_ctx = ip_context.astype(self.dtype) if ip_context is not None else None
+        _pfx = {"pending": bool(cfg_shared_prefix)}
 
         def xfmr(ch, name, lvl):
             heads = cfg.heads_at(lvl)
+            tile_here = _pfx["pending"]
+            _pfx["pending"] = False
             m = SpatialTransformer(
                 heads,
                 ch // heads,
                 depth=cfg.depth_at(lvl),
+                cfg_tile=tile_here,
                 name=name,
                 **kw,
             )
@@ -298,7 +341,7 @@ class UNet2DCondition(nn.Module):
             for lvl in reversed(range(branch + 1, n_levels)):
                 ch = cfg.block_out_channels[lvl]
                 for j in range(cfg.layers_per_block + 1):
-                    skip = skips.pop()
+                    skip = skip_for(h, skips.pop())
                     h = res(ch, f"up_{lvl}_res_{j}")(jnp.concatenate([h, skip], axis=-1), t_emb)
                     if cfg.cross_attention[lvl]:
                         h = xfmr(ch, f"up_{lvl}_attn_{j}", lvl)(h, ctx)
@@ -312,7 +355,7 @@ class UNet2DCondition(nn.Module):
         for lvl in reversed(range(branch + 1)):
             ch = cfg.block_out_channels[lvl]
             for j in range(cfg.layers_per_block + 1):
-                skip = skips.pop()
+                skip = skip_for(h, skips.pop())
                 h = res(ch, f"up_{lvl}_res_{j}")(jnp.concatenate([h, skip], axis=-1), t_emb)
                 if cfg.cross_attention[lvl]:
                     h = xfmr(ch, f"up_{lvl}_attn_{j}", lvl)(h, ctx)

@@ -186,6 +186,28 @@ def test_unet_microbatch_matches_plain(engine, params, monkeypatch):
         engine.sample(params, plan, embeds, neg, key, **kw)
 
 
+def test_cfg_shared_prefix_matches_plain(engine, params, monkeypatch):
+    """SDBL_CFG_PREFIX computes the CFG halves' shared prefix (conv_in,
+    leading resnets, first self-attention) ONCE and tiles at the first
+    cross-attention — identical math to plain CFG (docs/PERF.md)."""
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    plan = DPMSolverScheduler(solver_order=2).build_plan(3)
+    embeds = engine.encode_prompts(params, tok(["a cat", "a dog"]))
+    neg = engine.encode_prompts(params, tok(["", ""]))
+    key = jax.random.PRNGKey(29)
+    kw = dict(guidance_scale=7.5, latent_hw=(8, 8))
+    plain = engine.sample(params, plan, embeds, neg, key, **kw)
+    monkeypatch.setenv("SDBL_CFG_PREFIX", "1")
+    pfx = engine.sample(params, plan, embeds, neg, key, **kw)
+    np.testing.assert_allclose(
+        np.asarray(pfx.images), np.asarray(plain.images), atol=2e-5
+    )
+    # guidance off -> no CFG halves -> the knob silently no-ops
+    solo = engine.sample(params, plan, embeds, None, key,
+                         guidance_scale=1.0, latent_hw=(8, 8))
+    assert solo.images.shape == plain.images.shape
+
+
 def test_sample_with_deepcache(engine, params):
     tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
     plan = DPMSolverScheduler(solver_order=2).build_plan(6)
