@@ -279,3 +279,32 @@ class SkipStepsMethod(BaseMethod):
                     "use_x0": True,
                 },
             }
+
+
+@methods_registry.add_to_registry("tome")
+class TomeMethod(BaseMethod):
+    """Token Merging sweep (Bolya & Hoffman, ToMeSD 2023) — beyond-reference
+    acceleration method in DeepCache's product family (approximate, big
+    attention cut; ops/tome.py).  Grid: tome_ratio x num_inference_steps,
+    scheduler configurable like dpm_solver (defaults to DPM-Solver++)."""
+
+    def setup_scheduler(self) -> None:
+        self.model.scheduler = self.build_scheduler(
+            self.config.scheduler.get("scheduler_name", "dpm_solver_scheduler")
+            if self.config.get("scheduler")
+            else "dpm_solver_scheduler",
+            solver_order=int(self.params.get("solver_order", 2)),
+        )
+
+    def grid(self) -> Iterable[dict]:
+        ratios = self.params.get("tome_ratio", [0.5])
+        for ratio in ratios:
+            for steps in self.params.get("num_inference_steps", [20]):
+                yield {
+                    "label": f"ratio_{ratio}_steps_{steps}",
+                    "call_kw": {
+                        "num_inference_steps": int(steps),
+                        "tome_ratio": float(ratio),
+                        "use_x0": True,
+                    },
+                }

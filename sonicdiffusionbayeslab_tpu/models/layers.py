@@ -245,6 +245,13 @@ class TransformerBlock(nn.Module):
     computed once (the two CFG halves are bit-identical there: same
     latents, same timestep) and tiled to 2B right before the
     cross-attention, where the [neg|pos] contexts first diverge.
+
+    ``tome``: Token Merging (ops/tome.py) — the most redundant tokens are
+    merged away around attn1 (merge the normed input, un-merge the
+    attention output; the paper's ToMeSD hook placement), shrinking the
+    quadratic self-attention.  ``tome_hw`` carries the static 2D map shape
+    for the strided destination partition; ``tome_key`` varies the in-cell
+    destination per diffusion step.
     """
 
     num_heads: int
@@ -255,13 +262,22 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array,
-                 ip_context: Optional[jax.Array] = None, ip_scale=1.0) -> jax.Array:
+                 ip_context: Optional[jax.Array] = None, ip_scale=1.0,
+                 tome=None, tome_hw=None, tome_key=None) -> jax.Array:
         # torch nn.LayerNorm eps (diffusers BasicTransformerBlock) = 1e-5.
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name)  # noqa: E731
         attn = lambda name: Attention(  # noqa: E731
             self.num_heads, self.head_dim, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
-        x = x + attn("attn1")(ln("norm1")(x))
+        if tome is not None:
+            from sonicdiffusionbayeslab_tpu.ops.tome import bipartite_soft_matching_2d
+
+            merge, unmerge = bipartite_soft_matching_2d(
+                x, tome_hw[0], tome_hw[1], tome, tome_key
+            )
+            x = x + unmerge(attn("attn1")(merge(ln("norm1")(x))))
+        else:
+            x = x + attn("attn1")(ln("norm1")(x))
         if self.cfg_tile:
             x = jnp.concatenate([x, x], axis=0)
         x = x + attn("attn2")(ln("norm2")(x), context=context,
@@ -277,7 +293,11 @@ class SpatialTransformer(nn.Module):
 
     ``cfg_tile``: CFG shared-prefix entry point — ``x`` is the single latent
     copy [B, ...] while ``context`` is [2B, ...]; block 0 tiles to 2B right
-    before its cross-attention (see TransformerBlock.cfg_tile)."""
+    before its cross-attention (see TransformerBlock.cfg_tile).
+
+    ``tome``/``tome_key``: Token Merging around each block's self-attention
+    (ops/tome.py); the static map shape for the 2D partition is this
+    module's own H x W."""
 
     num_heads: int
     head_dim: int
@@ -288,20 +308,27 @@ class SpatialTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array,
-                 ip_context: Optional[jax.Array] = None, ip_scale=1.0) -> jax.Array:
+                 ip_context: Optional[jax.Array] = None, ip_scale=1.0,
+                 tome=None, tome_key=None) -> jax.Array:
         B, H, W, C = x.shape
         residual = x
+        if tome is not None and (H % tome.sy or W % tome.sx):
+            tome = None  # partition undefined for this map shape; skip site
         # diffusers Transformer2DModel's input GroupNorm uses eps=1e-6.
         h = GroupNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(x)
         h = h.reshape(B, H * W, C)
         h = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(h)
         for i in range(self.depth):
+            bkey = None
+            if tome is not None and tome_key is not None:
+                bkey = jax.random.fold_in(tome_key, i)
             h = TransformerBlock(
                 self.num_heads, self.head_dim,
                 cfg_tile=(self.cfg_tile and i == 0),
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"block_{i}",
-            )(h, context, ip_context=ip_context, ip_scale=ip_scale)
+            )(h, context, ip_context=ip_context, ip_scale=ip_scale,
+              tome=tome, tome_hw=(H, W), tome_key=bkey)
         h = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
         if self.cfg_tile:
             residual = jnp.concatenate([residual, residual], axis=0)

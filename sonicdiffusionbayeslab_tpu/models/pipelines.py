@@ -109,6 +109,7 @@ class StableDiffusionModel:
         self.scheduler = None  # a plan builder, assigned by the experiment
         self.num_timesteps = 0  # NFE of the last call (reference attribute)
         self.cache_plan_fn = None  # DeepCache hook (set by DeepCacheMethod)
+        self.tome_ratio = None  # Token Merging hook (set by TomeMethod / config)
         self.guidance_rescale = 0.0
         self._embed_cache: Dict[str, np.ndarray] = {}
         self._post_init()
@@ -201,6 +202,8 @@ class StableDiffusionModel:
         ip_scale: Optional[float] = None,
         height: Optional[int] = None,  # non-square generation (default:
         width: Optional[int] = None,  # image_size x image_size)
+        tome_ratio: Optional[float] = None,  # Token Merging (ops/tome.py);
+        # None falls back to the pipeline-level hook self.tome_ratio
         **plan_kw,
     ):
         """Returns (images [B,H,W,3] in [0,1], execution_time, x0_images)."""
@@ -289,6 +292,7 @@ class StableDiffusionModel:
             blend=blend,
             mesh=self.mesh,
             ip_adapter=ip_arg,
+            tome=self.tome_ratio if tome_ratio is None else tome_ratio,
             **self._extra_sample_kwargs(len(prompt), lat_hw),
         )
         images = np.asarray(out.images) if out.images is not None else np.asarray(out.latents)

@@ -282,6 +282,12 @@ class StableDiffusionEngine:
         # (models/unet.py cfg_shared_prefix).  Exact same math, ~the first
         # self-attention + leading convs deduplicated.
         cfg_prefix: bool = False,
+        # Token Merging (ops/tome.py TomeConfig — hashable, so it keys the
+        # trace cache): merge the most redundant tokens around the UNet's
+        # self-attentions.  APPROXIMATE (unlike cfg_prefix/microbatch):
+        # trades a paper-quantified quality delta for a large cut in the
+        # N=4096 attention (the profile's biggest bucket, docs/PERF.md).
+        tome=None,
     ):
         unet = self.unet
         controlnet = self.controlnet
@@ -324,13 +330,15 @@ class StableDiffusionEngine:
                     def full(c):
                         return unet.apply(
                             {"params": unet_params}, lat_in, tb, embeds, added,
-                            return_cache=True, cache_branch_id=cache_branch, **ip_kw,
+                            return_cache=True, cache_branch_id=cache_branch,
+                            tome=tome, **ip_kw,
                         )
 
                     def cached(c):
                         return (
                             unet.apply({"params": unet_params}, lat_in, tb, embeds, added,
-                                       cache=c, cache_branch_id=cache_branch, **ip_kw),
+                                       cache=c, cache_branch_id=cache_branch,
+                                       tome=tome, **ip_kw),
                             c,
                         )
 
@@ -346,7 +354,7 @@ class StableDiffusionEngine:
                     )
                     noise_pred = unet.apply(
                         {"params": unet_params}, lat_in, tb, embeds, added,
-                        control_residuals=residuals, **ip_kw,
+                        control_residuals=residuals, tome=tome, **ip_kw,
                     )
                     new_cache = None
                 elif microbatch > 1:
@@ -384,7 +392,8 @@ class StableDiffusionEngine:
                         )
                         kw = {"timestep_cond": c["tcond"]} if use_tcond else {}
                         return unet.apply(
-                            {"params": unet_params}, c["lat"], c["tb"], c["emb"], a, **kw
+                            {"params": unet_params}, c["lat"], c["tb"], c["emb"], a,
+                            tome=tome, **kw
                         )
 
                     noise_pred = jax.lax.map(one_chunk, chunk_args).reshape(
@@ -393,11 +402,11 @@ class StableDiffusionEngine:
                     new_cache = None
                 elif cfg_prefix and do_cfg:
                     noise_pred = unet.apply({"params": unet_params}, lat_in, tb, embeds,
-                                            added, cfg_shared_prefix=True)
+                                            added, cfg_shared_prefix=True, tome=tome)
                     new_cache = None
                 else:
                     noise_pred = unet.apply({"params": unet_params}, lat_in, tb, embeds,
-                                            added, **ip_kw)
+                                            added, tome=tome, **ip_kw)
                     new_cache = None
 
                 noise_pred = noise_pred.astype(jnp.float32)
@@ -497,6 +506,11 @@ class StableDiffusionEngine:
         # "scale": float}. params must contain "image_proj" and a UNet tree
         # with the to_k_ip/to_v_ip projections merged (merge_ip_params).
         ip_adapter: Optional[Dict[str, Any]] = None,
+        # Token Merging (ToMe, ops/tome.py): ratio in (0,1) merges that
+        # fraction of tokens around the UNet's N=4096 self-attentions
+        # (approximate acceleration, DeepCache's product family).  Either a
+        # float ratio or a full TomeConfig; env default SDBL_TOME_RATIO.
+        tome: Any = None,
     ) -> SampleOutput:
         """Generate images for one batch. Returns reference-contract output:
         (images, execution_time of the denoise loop only, optional x0 decodes)
@@ -619,6 +633,12 @@ class StableDiffusionEngine:
 
         donate = bool(os.environ.get("SDBL_DONATE"))
         microbatch = int(os.environ.get("SDBL_UNET_MICROBATCH", "0"))
+        if tome is None and os.environ.get("SDBL_TOME_RATIO"):
+            tome = float(os.environ["SDBL_TOME_RATIO"])
+        if tome is not None and not hasattr(tome, "r_for"):
+            from sonicdiffusionbayeslab_tpu.ops.tome import TomeConfig
+
+            tome = TomeConfig(ratio=float(tome)) if float(tome) > 0 else None
         if microbatch > 1 and (use_cache or control is not None or ip_adapter is not None):
             raise ValueError(
                 "SDBL_UNET_MICROBATCH composes with the plain/SDXL/LCM UNet "
@@ -657,6 +677,7 @@ class StableDiffusionEngine:
             donate,
             microbatch,
             cfg_prefix,
+            tome,
         )
         if donate and init_latents is not None:
             # Donation would invalidate the caller's buffer; give XLA a copy.

@@ -187,6 +187,11 @@ class UNet2DCondition(nn.Module):
         # Output is [2B, ...] as usual.  Static flag: its own compiled
         # program.
         cfg_shared_prefix: bool = False,
+        # Token Merging (ops/tome.py TomeConfig, static/hashable): merge the
+        # most redundant tokens around every self-attention at levels whose
+        # downsample factor is <= tome.max_downsample.  Approximate method
+        # (paper-quantified quality delta), same family as DeepCache.
+        tome=None,
     ):
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -269,10 +274,26 @@ class UNet2DCondition(nn.Module):
         ip_ctx = ip_context.astype(self.dtype) if ip_context is not None else None
         _pfx = {"pending": bool(cfg_shared_prefix)}
 
+        # ToMe: one key per diffusion step (derived from the timestep, so it
+        # varies inside the sampling scan without extra plumbing), folded per
+        # transformer site so each picks its own in-cell destinations.
+        _tome_site = {"n": 0}
+        tome_step_key = None
+        if tome is not None and tome.rand:
+            tome_step_key = jax.random.fold_in(
+                jax.random.PRNGKey(0x703E), timesteps[0].astype(jnp.int32)
+            )
+
         def xfmr(ch, name, lvl):
             heads = cfg.heads_at(lvl)
             tile_here = _pfx["pending"]
             _pfx["pending"] = False
+            site_tome, site_key = None, None
+            if tome is not None and (1 << lvl) <= tome.max_downsample:
+                site_tome = tome
+                if tome_step_key is not None:
+                    site_key = jax.random.fold_in(tome_step_key, _tome_site["n"])
+                _tome_site["n"] += 1
             m = SpatialTransformer(
                 heads,
                 ch // heads,
@@ -281,7 +302,8 @@ class UNet2DCondition(nn.Module):
                 name=name,
                 **kw,
             )
-            return lambda h, c: m(h, c, ip_context=ip_ctx, ip_scale=ip_scale)
+            return lambda h, c: m(h, c, ip_context=ip_ctx, ip_scale=ip_scale,
+                                  tome=site_tome, tome_key=site_key)
 
         n_levels = len(cfg.block_out_channels)
         # DeepCache split (reference deep_cache.py:25-27, generalized to any
