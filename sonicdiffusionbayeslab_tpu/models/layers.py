@@ -101,13 +101,17 @@ class GroupNorm(nn.Module):
                     silu=self.silu, block_rows=block,
                 )
 
-        if os.environ.get("SDBL_GN_BARRIER"):
+        barrier = os.environ.get("SDBL_GN_BARRIER",
+                                 "1" if jax.default_backend() == "tpu" else "")
+        if barrier and barrier != "0":
             # Keep the fp32 stats reduction OUT of the producing conv's
             # epilogue. The profiler shows conv+GN-stats "convert_reduce"
             # fusions running at ~140 TFLOP/s vs ~185 for pure convs
             # (docs/PERF.md breakdown): the epilogue reduce serializes VPU
             # work against the MXU tiles. The barrier makes the conv pure;
             # re-reading the activations for stats is bandwidth-cheap.
+            # Default ON for TPU (measured +3% end-to-end, exact math;
+            # docs/PERF.md round 3); SDBL_GN_BARRIER=0 disables.
             x = jax.lax.optimization_barrier(x)
 
         orig_dtype = x.dtype
@@ -251,7 +255,9 @@ class TransformerBlock(nn.Module):
     attention output; the paper's ToMeSD hook placement), shrinking the
     quadratic self-attention.  ``tome_hw`` carries the static 2D map shape
     for the strided destination partition; ``tome_key`` varies the in-cell
-    destination per diffusion step.
+    destination per diffusion step.  ``tome_cache`` (a per-UNet-call dict)
+    shares one matching per (H, W, B) across that level's blocks when
+    ``tome.share`` — the measured-on-v5e default (ops/tome.py docstring).
     """
 
     num_heads: int
@@ -263,7 +269,8 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array,
                  ip_context: Optional[jax.Array] = None, ip_scale=1.0,
-                 tome=None, tome_hw=None, tome_key=None) -> jax.Array:
+                 tome=None, tome_hw=None, tome_key=None,
+                 tome_cache=None) -> jax.Array:
         # torch nn.LayerNorm eps (diffusers BasicTransformerBlock) = 1e-5.
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name)  # noqa: E731
         attn = lambda name: Attention(  # noqa: E731
@@ -272,9 +279,22 @@ class TransformerBlock(nn.Module):
         if tome is not None:
             from sonicdiffusionbayeslab_tpu.ops.tome import bipartite_soft_matching_2d
 
-            merge, unmerge = bipartite_soft_matching_2d(
-                x, tome_hw[0], tome_hw[1], tome, tome_key
-            )
+            # Shared matching: reuse any entry for this (H, W) whose built
+            # batch divides ours (the closures tile their index maps — the
+            # CFG shared-prefix first site builds at B, later sites run 2B).
+            merge = unmerge = None
+            if tome.share and tome_cache is not None:
+                for (ch, cw, cb), mu in tome_cache.items():
+                    if (ch, cw) == tome_hw and x.shape[0] % cb == 0:
+                        merge, unmerge = mu
+                        break
+            if merge is None:
+                merge, unmerge = bipartite_soft_matching_2d(
+                    x, tome_hw[0], tome_hw[1], tome, tome_key
+                )
+                if tome.share and tome_cache is not None:
+                    tome_cache[(tome_hw[0], tome_hw[1], x.shape[0])] = (
+                        merge, unmerge)
             x = x + unmerge(attn("attn1")(merge(ln("norm1")(x))))
         else:
             x = x + attn("attn1")(ln("norm1")(x))
@@ -309,7 +329,7 @@ class SpatialTransformer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array,
                  ip_context: Optional[jax.Array] = None, ip_scale=1.0,
-                 tome=None, tome_key=None) -> jax.Array:
+                 tome=None, tome_key=None, tome_cache=None) -> jax.Array:
         B, H, W, C = x.shape
         residual = x
         if tome is not None and (H % tome.sy or W % tome.sx):
@@ -328,7 +348,7 @@ class SpatialTransformer(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"block_{i}",
             )(h, context, ip_context=ip_context, ip_scale=ip_scale,
-              tome=tome, tome_hw=(H, W), tome_key=bkey)
+              tome=tome, tome_hw=(H, W), tome_key=bkey, tome_cache=tome_cache)
         h = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
         if self.cfg_tile:
             residual = jnp.concatenate([residual, residual], axis=0)

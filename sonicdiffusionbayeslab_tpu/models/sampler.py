@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sonicdiffusionbayeslab_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+from sonicdiffusionbayeslab_tpu.ops.attention import get_attention_backend
 from sonicdiffusionbayeslab_tpu.models.unet import UNet2DCondition, UNetConfig
 from sonicdiffusionbayeslab_tpu.models.vae import AutoencoderKL, VAEConfig
 from sonicdiffusionbayeslab_tpu.schedulers.plan import SamplePlan
@@ -77,6 +78,15 @@ class SDXLTextConfigs:
                            num_heads=2, intermediate_size=32),
             CLIPTextConfig.tiny_g(),
         )
+
+
+def _gn_barrier_resolved() -> bool:
+    """The GroupNorm conv/stats optimization-barrier default (models/layers.py):
+    on for TPU unless SDBL_GN_BARRIER=0.  Resolved here so it can join the
+    denoise trace-cache key."""
+    v = os.environ.get("SDBL_GN_BARRIER",
+                       "1" if jax.default_backend() == "tpu" else "")
+    return bool(v and v != "0")
 
 
 def guidance_scale_embedding(w: jax.Array, dim: int) -> jax.Array:
@@ -288,6 +298,13 @@ class StableDiffusionEngine:
         # trades a paper-quantified quality delta for a large cut in the
         # N=4096 attention (the profile's biggest bucket, docs/PERF.md).
         tome=None,
+        # Cache-key-only entries: the attention backend and GroupNorm
+        # barrier are read from env/registry at TRACE time inside the
+        # model code; carrying the resolved values here keeps a mid-process
+        # toggle from silently hitting a stale cached trace (same fix as
+        # unroll/donate above).
+        attn_backend=None,
+        gn_barrier: bool = False,
     ):
         unet = self.unet
         controlnet = self.controlnet
@@ -678,6 +695,8 @@ class StableDiffusionEngine:
             microbatch,
             cfg_prefix,
             tome,
+            get_attention_backend(),
+            _gn_barrier_resolved(),
         )
         if donate and init_latents is not None:
             # Donation would invalidate the caller's buffer; give XLA a copy.

@@ -277,7 +277,10 @@ class UNet2DCondition(nn.Module):
         # ToMe: one key per diffusion step (derived from the timestep, so it
         # varies inside the sampling scan without extra plumbing), folded per
         # transformer site so each picks its own in-cell destinations.
+        # tome_cache shares one matching per (H, W, B) across this call's
+        # sites when tome.share (ops/tome.py — the measured v5e default).
         _tome_site = {"n": 0}
+        tome_cache = {}
         tome_step_key = None
         if tome is not None and tome.rand:
             tome_step_key = jax.random.fold_in(
@@ -303,7 +306,8 @@ class UNet2DCondition(nn.Module):
                 **kw,
             )
             return lambda h, c: m(h, c, ip_context=ip_ctx, ip_scale=ip_scale,
-                                  tome=site_tome, tome_key=site_key)
+                                  tome=site_tome, tome_key=site_key,
+                                  tome_cache=tome_cache)
 
         n_levels = len(cfg.block_out_channels)
         # DeepCache split (reference deep_cache.py:25-27, generalized to any

@@ -28,7 +28,13 @@ def set_attention_backend(name: Optional[str]) -> None:
 
 def get_attention_backend() -> Optional[str]:
     env = os.environ.get("SDBL_ATTENTION", "").strip().lower() or None
-    return _BACKEND if _BACKEND is not None else env
+    backend = _BACKEND if _BACKEND is not None else env
+    if backend is None and jax.default_backend() == "tpu":
+        # Measured default (docs/PERF.md round 3): tiered = XLA's flash-like
+        # fusion where it wins (N=4096), Pallas where XLA spills fp32 scores
+        # to HBM (N<=3072).  +3% end-to-end over pure XLA, exact math.
+        return "tiered"
+    return backend
 
 
 def _xla_attention(q, k, v, mask=None):
@@ -78,7 +84,11 @@ def _xla_spills_scores(q, k) -> bool:
     single flash-like kOutput fusion at ~82% of the D=40 MXU ceiling — hard
     to beat; at N=M=1024 (and 256) it splits the attention into two
     HBM-bandwidth-bound fusions around an fp32 score tensor (0.5 GB at the
-    hero shape), which the flash kernel avoids entirely.  Cross-attention
-    (M=77) is too small to matter either way."""
+    hero shape), which the flash kernel avoids entirely.  The same spill
+    shows up at ToMe's merged shapes (e.g. N=3072 after ratio-0.25 merging
+    of the 4096 grid: a 4.8 GB score tensor that fits HBM, so XLA
+    materializes it) — hence "everything below 4096" rather than a
+    power-of-two list.  Cross-attention (M=77) is too small to matter
+    either way."""
     N, M = q.shape[1], k.shape[1]
-    return M >= 128 and N <= 2048
+    return M >= 128 and N < 4096

@@ -29,7 +29,16 @@ tpu-first design notes (vs the CUDA/torch reference implementation):
    ops would serialize on TPU;
  - the per-cell "random destination" of the paper is a traced index
    derived from a folded PRNG key, so it varies per diffusion step inside
-   the scan without retracing.
+   the scan without retracing;
+ - unmerge is ONE gather through a precomputed [B, N] index map (built
+   with tiny int32 scatters), not a [B, N, C] scatter pair — scatters of
+   the full activation tensor measured ~2x the cost on v5e;
+ - the similarity metric is subsampled to `metric_channels` channels
+   (cosine similarity concentrates in few dims; the full-C einsum was
+   ~15% of the savings by itself) and the matching is computed ONCE per
+   step per resolution and shared across that level's transformer blocks
+   (`share=True`; the official ToMeSD recomputes per block — measured on
+   v5e the recompute costs more than the attention it saves).
 """
 
 from __future__ import annotations
@@ -53,12 +62,23 @@ class TomeConfig:
       deeper levels are cheap and carry more semantic load).
     rand: per-step random destination choice within each cell (paper's
       use_rand; avoids fixed-grid artifacts).
+    metric_channels: similarity is computed on the first this-many feature
+      channels (0 = all).  Measured on v5e the full-C similarity einsum is
+      a sizeable fraction of ToMe's overhead; 64 channels preserve the
+      matching (cosine similarity of natural features concentrates in few
+      dims) at 1/5 the cost.
+    share: compute the matching once per step per resolution and reuse it
+      for every transformer block at that level (the official ToMeSD
+      recomputes per block; measured on v5e the per-block recompute costs
+      more than the attention it saves).
     """
 
-    __slots__ = ("ratio", "sx", "sy", "max_downsample", "rand")
+    __slots__ = ("ratio", "sx", "sy", "max_downsample", "rand",
+                 "metric_channels", "share")
 
     def __init__(self, ratio: float = 0.5, sx: int = 2, sy: int = 2,
-                 max_downsample: int = 1, rand: bool = True):
+                 max_downsample: int = 1, rand: bool = True,
+                 metric_channels: int = 64, share: bool = True):
         if not 0.0 < ratio < 1.0:
             raise ValueError(f"tome ratio must be in (0, 1), got {ratio}")
         self.ratio = float(ratio)
@@ -66,20 +86,23 @@ class TomeConfig:
         self.sy = int(sy)
         self.max_downsample = int(max_downsample)
         self.rand = bool(rand)
+        self.metric_channels = int(metric_channels)
+        self.share = bool(share)
+
+    def _key(self):
+        return (self.ratio, self.sx, self.sy, self.max_downsample, self.rand,
+                self.metric_channels, self.share)
 
     def __hash__(self):
-        return hash((self.ratio, self.sx, self.sy, self.max_downsample, self.rand))
+        return hash(self._key())
 
     def __eq__(self, other):
-        return (
-            isinstance(other, TomeConfig)
-            and (self.ratio, self.sx, self.sy, self.max_downsample, self.rand)
-            == (other.ratio, other.sx, other.sy, other.max_downsample, other.rand)
-        )
+        return isinstance(other, TomeConfig) and self._key() == other._key()
 
     def __repr__(self):
         return (f"TomeConfig(ratio={self.ratio}, sx={self.sx}, sy={self.sy}, "
-                f"max_downsample={self.max_downsample}, rand={self.rand})")
+                f"max_downsample={self.max_downsample}, rand={self.rand}, "
+                f"metric_channels={self.metric_channels}, share={self.share})")
 
     def r_for(self, h: int, w: int) -> int:
         """Number of tokens to merge at an h*w map (capped at the src count)."""
@@ -147,6 +170,9 @@ def bipartite_soft_matching_2d(
     order = jnp.argsort(is_dst * N + jnp.arange(N))
     src_idx = order[:n_src]  # [n_src] traced token indices
 
+    mc = cfg.metric_channels
+    if mc and mc < metric.shape[-1]:
+        metric = metric[..., :mc]
     mnorm = metric / (jnp.linalg.norm(metric.astype(jnp.float32), axis=-1,
                                       keepdims=True) + 1e-6)
     a = jnp.take(mnorm, src_idx, axis=1)  # [B, Ns, C]
@@ -162,38 +188,51 @@ def bipartite_soft_matching_2d(
     kept_slots = merge_order[:, r:]             # [B, Ns - r]
     merged_dst = jnp.take_along_axis(best, merged_slots, axis=1)  # [B, r]
 
+    n_kept = n_src - r
+    kept_tok = jnp.take(src_idx, kept_slots)    # [B, n_kept] token ids
+    merged_tok = jnp.take(src_idx, merged_slots)  # [B, r] token ids
+
+    # Unmerge = ONE gather through a [B, N] index map into the merged rows
+    # [kept | dst] (built with int32 scatters — 256 KB, vs scattering the
+    # full [B, N, C] activations).
+    brow = jnp.arange(B)[:, None]
+    idx_map = jnp.zeros((B, N), jnp.int32)
+    idx_map = idx_map.at[brow, kept_tok].set(jnp.arange(n_kept)[None, :])
+    idx_map = idx_map.at[brow, dst_idx[None, :]].set(
+        n_kept + jnp.arange(n_dst)[None, :])
+    idx_map = idx_map.at[brow, merged_tok].set(n_kept + merged_dst)
+
+    def _tile(a: jax.Array, b: int) -> jax.Array:
+        # Adapt per-row index tensors to a batch that is a multiple of the
+        # built batch (CFG tiling: the shared-prefix half builds at B, the
+        # post-divergence sites run at 2B with the SAME per-sample matching
+        # in both halves — identical semantics to building on the doubled
+        # pre-divergence input, whose halves are bit-equal).
+        if a.shape[0] == b:
+            return a
+        assert b % a.shape[0] == 0, (
+            f"tome closure built for batch {a.shape[0]} applied to {b}")
+        return jnp.tile(a, (b // a.shape[0],) + (1,) * (a.ndim - 1))
+
     def merge(x: jax.Array) -> jax.Array:
-        xs = jnp.take(x, src_idx, axis=1)                      # [B, Ns, C']
+        bx = x.shape[0]
+        kept = jnp.take_along_axis(x, _tile(kept_tok, bx)[..., None], axis=1)
+        mx = jnp.take_along_axis(x, _tile(merged_tok, bx)[..., None], axis=1)
         xd = jnp.take(x, dst_idx, axis=1)                      # [B, Nd, C']
-        kept = jnp.take_along_axis(
-            xs, kept_slots[..., None], axis=1)                 # [B, Ns-r, C']
-        mx = jnp.take_along_axis(
-            xs, merged_slots[..., None], axis=1)               # [B, r, C']
         # Segment-mean into dst rows via one-hot matmul (MXU, not scatter).
-        onehot = jax.nn.one_hot(merged_dst, n_dst, dtype=x.dtype)  # [B, r, Nd]
+        onehot = jax.nn.one_hot(_tile(merged_dst, bx), n_dst,
+                                dtype=x.dtype)                 # [B, r, Nd]
         sums = jnp.einsum("brd,brc->bdc", onehot, mx)
         cnts = onehot.sum(axis=1)[..., None]                   # [B, Nd, 1]
         xd = (xd + sums) / (1.0 + cnts).astype(x.dtype)
         return jnp.concatenate([kept, xd], axis=1)             # [B, N-r, C']
 
     def unmerge(x: jax.Array) -> jax.Array:
-        n_kept = n_src - r
-        kept, xd = x[:, :n_kept], x[:, n_kept:]                # [B,*,C']
-        mx = jnp.take_along_axis(
-            xd, merged_dst[..., None], axis=1)                 # [B, r, C']
-        # Rebuild the src table, then the full token order.
-        xs = jnp.zeros((B, n_src, x.shape[-1]), x.dtype)
-        xs = jnp.take_along_axis(
-            jnp.concatenate([kept, mx], axis=1),
-            jnp.argsort(jnp.concatenate([kept_slots, merged_slots], axis=1),
-                        axis=1)[..., None],
-            axis=1,
-        ) + xs
-        out = jnp.zeros((B, N, x.shape[-1]), x.dtype)
-        out = out.at[:, src_idx].set(xs)
-        out = out.at[:, dst_idx].set(xd)
-        return out
+        return jnp.take_along_axis(x, _tile(idx_map, x.shape[0])[..., None],
+                                   axis=1)
 
+    merge.built_batch = B
+    unmerge.built_batch = B
     return merge, unmerge
 
 

@@ -200,6 +200,36 @@ def test_tome_composes_with_microbatch(engine, params, embeds, monkeypatch):
     )
 
 
+def test_tome_share_and_metric_channel_knobs(engine, params, embeds):
+    """share=False (per-block matching, official ToMeSD semantics) and
+    metric_channels=0 (full-C similarity) both run; both are approximate
+    variants so they differ from the shared/subsampled default."""
+    default = _sample(engine, params, embeds, tome=TomeConfig(ratio=0.4))
+    per_block = _sample(engine, params, embeds,
+                        tome=TomeConfig(ratio=0.4, share=False))
+    full_c = _sample(engine, params, embeds,
+                     tome=TomeConfig(ratio=0.4, metric_channels=0))
+    for out in (per_block, full_c):
+        assert out.images.shape == default.images.shape
+        assert np.isfinite(np.asarray(out.images)).all()
+
+
+def test_tome_closure_tiles_to_batch_multiples():
+    """Closures built at batch B apply at 2B by tiling their index maps
+    (the CFG shared-prefix path) — each half gets the same matching."""
+    B, h, w, C = 2, 8, 8, 8
+    x = _rand((B, h * w, C), seed=8)
+    m, u = bipartite_soft_matching_2d(x, h, w, TomeConfig(0.5),
+                                      jax.random.PRNGKey(4))
+    x2 = jnp.concatenate([x, x], axis=0)
+    y2 = m(x2)
+    assert y2.shape[0] == 2 * B
+    np.testing.assert_allclose(np.asarray(y2[:B]), np.asarray(m(x)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y2[B:]), np.asarray(m(x)), atol=1e-6)
+    z2 = u(y2)
+    np.testing.assert_allclose(np.asarray(z2[:B]), np.asarray(z2[B:]), atol=1e-6)
+
+
 def test_tome_method_registered():
     from sonicdiffusionbayeslab_tpu.registry import methods_registry
     import sonicdiffusionbayeslab_tpu.experiments.methods  # noqa: F401
