@@ -63,6 +63,18 @@ class BaseMethod:
         kw.setdefault("image_size", self.config.dataset.get("image_size", 512))
         models_registry.validate_kwargs(name, kw, allow_missing=True)
         self.model = models_registry[name](**kw)
+        # Inference-section perf knobs (docs/PERF.md). unet_microbatch is
+        # EXACT (chunked UNet; the batch-32 memory fix) and per-pipeline;
+        # quant: int8 is APPROXIMATE (W8A8 projections, ops/quant.py) and a
+        # trace-time mode, set process-wide here.
+        mb = self.config.inference.get("unet_microbatch")
+        if mb is not None:
+            self.model.unet_microbatch = int(mb)
+        quant = self.config.inference.get("quant")
+        if quant is not None:
+            from sonicdiffusionbayeslab_tpu.ops.quant import set_quant_mode
+
+            set_quant_mode(str(quant).lower() or None)
 
     def setup_scheduler(self) -> None:
         scfg = self.config.get("scheduler")

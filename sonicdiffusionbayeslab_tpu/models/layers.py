@@ -24,6 +24,46 @@ from flax import linen as nn
 from sonicdiffusionbayeslab_tpu.ops.attention import dot_product_attention
 
 
+class QuantDense(nn.Module):
+    """Drop-in ``nn.Dense`` with W8A8 int8 matmul (ops/quant.py).
+
+    Param tree is IDENTICAL to ``nn.Dense`` (bf16 master ``kernel``/``bias``,
+    same initializers), so converters, LoRA merges and sharding rules apply
+    unchanged; the int8 quantization happens at trace time in the forward.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from sonicdiffusionbayeslab_tpu.ops.quant import int8_dense
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features), self.param_dtype
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        return int8_dense(x, kernel, bias, out_dtype=self.dtype or x.dtype)
+
+
+def projection_dense(features: int, *, use_bias: bool = True, dtype=None,
+                     param_dtype=jnp.float32, name: str):
+    """Dense factory for the transformer projections/FFN: ``nn.Dense``, or
+    :class:`QuantDense` under ``SDBL_QUANT=int8`` (APPROXIMATE — see
+    ops/quant.py; resolved at trace time, keyed into the sampler's trace
+    cache like the attention backend)."""
+    from sonicdiffusionbayeslab_tpu.ops.quant import get_quant_mode
+
+    cls = QuantDense if get_quant_mode() == "int8" else nn.Dense
+    return cls(features, use_bias=use_bias, dtype=dtype, param_dtype=param_dtype, name=name)
+
+
 def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
     """Sinusoidal timestep embedding, [B] -> [B, dim] (fp32)."""
     half = dim // 2
@@ -185,7 +225,7 @@ class Attention(nn.Module):
 
         ctx = x if context is None else context
         inner = self.num_heads * self.head_dim
-        dense = lambda feats, name: nn.Dense(  # noqa: E731
+        dense = lambda feats, name: projection_dense(  # noqa: E731
             feats, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         if os.environ.get("SDBL_FUSED_QKV", "") == "1":
@@ -216,7 +256,7 @@ class Attention(nn.Module):
             v_ip = dense(inner, "to_v_ip")(ip_context).reshape(B, P, self.num_heads, self.head_dim)
             o_ip = dot_product_attention(q, k_ip, v_ip)
             o = o + jnp.asarray(ip_scale, o.dtype) * o_ip.reshape(B, N, inner)
-        return nn.Dense(
+        return projection_dense(
             self.out_dim or x.shape[-1], dtype=self.dtype, param_dtype=self.param_dtype, name="to_out"
         )(o)
 
@@ -232,12 +272,12 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
+        h = projection_dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         # diffusers GEGLU applies torch F.gelu's default = EXACT erf gelu,
         # not the tanh approximation jax.nn.gelu defaults to.
         h = h * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
+        return projection_dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
 
 
 class TransformerBlock(nn.Module):
@@ -337,7 +377,7 @@ class SpatialTransformer(nn.Module):
         # diffusers Transformer2DModel's input GroupNorm uses eps=1e-6.
         h = GroupNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(x)
         h = h.reshape(B, H * W, C)
-        h = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(h)
+        h = projection_dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(h)
         for i in range(self.depth):
             bkey = None
             if tome is not None and tome_key is not None:
@@ -349,7 +389,7 @@ class SpatialTransformer(nn.Module):
                 name=f"block_{i}",
             )(h, context, ip_context=ip_context, ip_scale=ip_scale,
               tome=tome, tome_hw=(H, W), tome_key=bkey, tome_cache=tome_cache)
-        h = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
+        h = projection_dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
         if self.cfg_tile:
             residual = jnp.concatenate([residual, residual], axis=0)
             B = 2 * B

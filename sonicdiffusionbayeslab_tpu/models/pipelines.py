@@ -110,6 +110,7 @@ class StableDiffusionModel:
         self.num_timesteps = 0  # NFE of the last call (reference attribute)
         self.cache_plan_fn = None  # DeepCache hook (set by DeepCacheMethod)
         self.tome_ratio = None  # Token Merging hook (set by TomeMethod / config)
+        self.unet_microbatch = None  # batch-32 memory fix (inference.unet_microbatch)
         self.guidance_rescale = 0.0
         self._embed_cache: Dict[str, np.ndarray] = {}
         self._post_init()
@@ -204,6 +205,8 @@ class StableDiffusionModel:
         width: Optional[int] = None,  # image_size x image_size)
         tome_ratio: Optional[float] = None,  # Token Merging (ops/tome.py);
         # None falls back to the pipeline-level hook self.tome_ratio
+        unet_microbatch: Optional[int] = None,  # chunked UNet inside the scan
+        # (exact; the batch-32 fix); None falls back to self.unet_microbatch
         **plan_kw,
     ):
         """Returns (images [B,H,W,3] in [0,1], execution_time, x0_images)."""
@@ -293,6 +296,7 @@ class StableDiffusionModel:
             mesh=self.mesh,
             ip_adapter=ip_arg,
             tome=self.tome_ratio if tome_ratio is None else tome_ratio,
+            microbatch=self.unet_microbatch if unet_microbatch is None else unet_microbatch,
             **self._extra_sample_kwargs(len(prompt), lat_hw),
         )
         images = np.asarray(out.images) if out.images is not None else np.asarray(out.latents)

@@ -28,6 +28,7 @@ import numpy as np
 
 from sonicdiffusionbayeslab_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
 from sonicdiffusionbayeslab_tpu.ops.attention import get_attention_backend
+from sonicdiffusionbayeslab_tpu.ops.quant import get_quant_mode
 from sonicdiffusionbayeslab_tpu.models.unet import UNet2DCondition, UNetConfig
 from sonicdiffusionbayeslab_tpu.models.vae import AutoencoderKL, VAEConfig
 from sonicdiffusionbayeslab_tpu.schedulers.plan import SamplePlan
@@ -305,6 +306,9 @@ class StableDiffusionEngine:
         # unroll/donate above).
         attn_backend=None,
         gn_barrier: bool = False,
+        # Cache-key-only: int8 W8A8 projections (ops/quant.py, APPROXIMATE),
+        # resolved from SDBL_QUANT at trace time inside models/layers.py.
+        quant=None,
     ):
         unet = self.unet
         controlnet = self.controlnet
@@ -528,6 +532,11 @@ class StableDiffusionEngine:
         # (approximate acceleration, DeepCache's product family).  Either a
         # float ratio or a full TomeConfig; env default SDBL_TOME_RATIO.
         tome: Any = None,
+        # UNet micro-batching (config inference.unet_microbatch; env default
+        # SDBL_UNET_MICROBATCH): run the CFG-doubled UNet batch as k
+        # sequential chunks inside the scan — the batch-32 protocol fix
+        # (docs/PERF.md).  EXACT math, peak memory / k, zero recompute.
+        microbatch: Optional[int] = None,
     ) -> SampleOutput:
         """Generate images for one batch. Returns reference-contract output:
         (images, execution_time of the denoise loop only, optional x0 decodes)
@@ -649,7 +658,9 @@ class StableDiffusionEngine:
             added_args = dict(added_text=pos, added_ids=ids)
 
         donate = bool(os.environ.get("SDBL_DONATE"))
-        microbatch = int(os.environ.get("SDBL_UNET_MICROBATCH", "0"))
+        if microbatch is None:
+            microbatch = int(os.environ.get("SDBL_UNET_MICROBATCH", "0"))
+        microbatch = int(microbatch)
         if tome is None and os.environ.get("SDBL_TOME_RATIO"):
             tome = float(os.environ["SDBL_TOME_RATIO"])
         if tome is not None and not hasattr(tome, "r_for"):
@@ -697,6 +708,7 @@ class StableDiffusionEngine:
             tome,
             get_attention_backend(),
             _gn_barrier_resolved(),
+            get_quant_mode(),
         )
         if donate and init_latents is not None:
             # Donation would invalidate the caller's buffer; give XLA a copy.

@@ -452,3 +452,30 @@ def test_image_reward_blip_scorer_tiny():
     rm = RewardModel(scorer=scorer)
     rm.update(["a cat", "a dog"], imgs, imgs)
     assert rm.compute() == 1.0
+
+
+def test_inference_perf_knobs_config_wiring(tmp_path, monkeypatch):
+    """inference.unet_microbatch and inference.quant reach the pipeline /
+    quant mode from YAML (the batch-32 fix and the int8 knob must be
+    expressible in the reference's config schema, not just env vars)."""
+    import yaml
+
+    from sonicdiffusionbayeslab_tpu.ops.quant import get_quant_mode, set_quant_mode
+
+    monkeypatch.chdir(Path(__file__).parent.parent)
+    cfgp = _smoke_config(
+        tmp_path, "ddim", "stable_diffusion_model",
+        {"num_inference_steps": [3]}, {"scheduler_name": "ddim_scheduler"},
+    )
+    raw = yaml.safe_load(cfgp.read_text())
+    raw["inference"]["unet_microbatch"] = 2  # divides the CFG-doubled batch 8
+    raw["inference"]["quant"] = "int8"
+    cfgp.write_text(yaml.safe_dump(raw))
+    from sonicdiffusionbayeslab_tpu.cli import run
+
+    try:
+        metrics = run(str(cfgp))
+        assert get_quant_mode() == "int8"  # set_quant_mode called from config
+        assert len(metrics["exp"]) == 1 and metrics["time"][0] > 0
+    finally:
+        set_quant_mode(None)  # process-global: never leak into other tests
