@@ -58,10 +58,50 @@ def projection_dense(features: int, *, use_bias: bool = True, dtype=None,
     :class:`QuantDense` under ``SDBL_QUANT=int8`` (APPROXIMATE — see
     ops/quant.py; resolved at trace time, keyed into the sampler's trace
     cache like the attention backend)."""
-    from sonicdiffusionbayeslab_tpu.ops.quant import get_quant_mode
+    from sonicdiffusionbayeslab_tpu.ops.quant import dense_quant_enabled
 
-    cls = QuantDense if get_quant_mode() == "int8" else nn.Dense
+    cls = QuantDense if dense_quant_enabled() else nn.Dense
     return cls(features, use_bias=use_bias, dtype=dtype, param_dtype=param_dtype, name=name)
+
+
+class QuantConv(nn.Module):
+    """Drop-in ``nn.Conv`` (NHWC/HWIO) with W8A8 int8 conv (ops/quant.py).
+
+    Param tree is IDENTICAL to ``nn.Conv`` (bf16 master ``kernel``/``bias``),
+    so converters, LoRA merges and sharding rules apply unchanged; the int8
+    quantization happens at trace time in the forward.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from sonicdiffusionbayeslab_tpu.ops.quant import int8_conv
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            tuple(self.kernel_size) + (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        pad = self.padding
+        pad_pairs = ((pad, pad), (pad, pad)) if isinstance(pad, int) else pad
+        return int8_conv(
+            x, kernel, bias,
+            strides=tuple(self.strides), padding=pad_pairs,
+            out_dtype=self.dtype or x.dtype,
+        )
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
@@ -172,16 +212,24 @@ class ResnetBlock(nn.Module):
     """GN -> SiLU -> conv3x3 -> (+time) -> GN -> SiLU -> conv3x3, + skip.
 
     ``norm_epsilon``: 1e-5 matches diffusers' UNet resnets (norm_eps); the
-    VAE passes 1e-6 (AutoencoderKL convention)."""
+    VAE passes 1e-6 (AutoencoderKL convention).
+
+    ``allow_quant``: under ``SDBL_QUANT=int8_conv`` the two 3x3 convs run
+    W8A8 int8 (ops/quant.py, APPROXIMATE); the VAE passes False so decode
+    stays exact.  The shortcut 1x1 (the residual path) is never quantized."""
 
     out_channels: int
     norm_epsilon: float = 1e-5
+    allow_quant: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, t_emb: Optional[jax.Array] = None) -> jax.Array:
-        conv = lambda name: nn.Conv(  # noqa: E731
+        from sonicdiffusionbayeslab_tpu.ops.quant import conv_quant_enabled
+
+        conv_cls = QuantConv if (self.allow_quant and conv_quant_enabled()) else nn.Conv
+        conv = lambda name: conv_cls(  # noqa: E731
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         h = GroupNorm(silu=True, epsilon=self.norm_epsilon,

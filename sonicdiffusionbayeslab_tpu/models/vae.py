@@ -59,7 +59,7 @@ class Decoder(nn.Module):
     def __call__(self, z: jax.Array) -> jax.Array:
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        rkw = dict(norm_epsilon=1e-6, **kw)  # AutoencoderKL GroupNorm eps
+        rkw = dict(norm_epsilon=1e-6, allow_quant=False, **kw)  # AutoencoderKL eps; decode stays exact under int8_conv
         ch_top = cfg.block_out_channels[-1]
         h = nn.Conv(ch_top, (3, 3), padding=1, name="conv_in", **kw)(z.astype(self.dtype))
         h = ResnetBlock(ch_top, name="mid_res_0", **rkw)(h)
@@ -85,7 +85,7 @@ class Encoder(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        rkw = dict(norm_epsilon=1e-6, **kw)  # AutoencoderKL GroupNorm eps
+        rkw = dict(norm_epsilon=1e-6, allow_quant=False, **kw)  # AutoencoderKL eps; decode stays exact under int8_conv
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in", **kw)(
             x.astype(self.dtype)
         )

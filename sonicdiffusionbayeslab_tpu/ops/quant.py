@@ -7,6 +7,15 @@ bounded quantization error for MXU headroom.  APPROXIMATE, like Token
 Merging (ops/tome.py): off by default, enabled with ``SDBL_QUANT=int8``
 or :func:`set_quant_mode`, and never part of the exact headline numbers.
 
+Two levels, both dynamic (no calibration pass):
+
+* ``SDBL_QUANT=int8`` — the transformer projections (q/k/v/o, GEGLU FFN,
+  proj_in/out) via :func:`int8_dense`
+* ``SDBL_QUANT=int8_conv`` — additionally the UNet ResNet 3x3 convs via
+  :func:`int8_conv` (the profile's conv buckets, ~38% of step time); the
+  VAE's ResnetBlocks stay exact (``allow_quant=False`` — decode quality is
+  not worth trading, and decode is outside the loop-only protocol anyway)
+
 Scheme (the standard dynamic W8A8 recipe):
 
 * weights: symmetric per-OUTPUT-CHANNEL int8 — ``s_w[j] = max|w[:, j]|/127``
@@ -41,11 +50,14 @@ import jax.numpy as jnp
 
 _MODE = None  # None = resolve from env
 
+_MODES = (None, "int8", "int8_conv")
+
 
 def set_quant_mode(mode: Optional[str]) -> None:
-    """'int8' | None (off)."""
+    """'int8' (projections/FFN) | 'int8_conv' (projections + ResNet 3x3
+    convs) | None (off)."""
     global _MODE
-    if mode not in (None, "int8"):
+    if mode not in _MODES:
         raise ValueError(f"unknown quant mode {mode!r}")
     _MODE = mode
 
@@ -54,9 +66,19 @@ def get_quant_mode() -> Optional[str]:
     if _MODE is not None:
         return _MODE
     env = os.environ.get("SDBL_QUANT", "").strip().lower() or None
-    if env not in (None, "int8"):
-        raise ValueError(f"unknown SDBL_QUANT {env!r} (int8 | unset)")
+    if env not in _MODES:
+        raise ValueError(f"unknown SDBL_QUANT {env!r} (int8 | int8_conv | unset)")
     return env
+
+
+def dense_quant_enabled() -> bool:
+    """int8 projections are active (both 'int8' and 'int8_conv' modes)."""
+    return get_quant_mode() in ("int8", "int8_conv")
+
+
+def conv_quant_enabled() -> bool:
+    """int8 ResNet convs are active ('int8_conv' mode only)."""
+    return get_quant_mode() == "int8_conv"
 
 
 def _quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -84,6 +106,43 @@ def int8_dense(
         preferred_element_type=jnp.int32,
     )
     out = acc.astype(jnp.float32) * s_x * s_w.reshape((1,) * (x.ndim - 1) + (-1,))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype or x.dtype)
+
+
+def int8_conv(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    strides: tuple[int, int] = (1, 1),
+    padding=((1, 1), (1, 1)),
+    out_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """W8A8 conv: x [B,H,W,C] * kernel [kh,kw,C,O] with dynamic int8 quant.
+
+    Scale granularity is the conv analog of :func:`int8_dense`'s
+    per-token/per-channel grid: activations per-SAMPLE (conv never mixes
+    batch rows, so ``s_x[b]`` factors out of every output pixel of sample
+    b), weights per-OUTPUT-CHANNEL.  Zero padding is exact in int8, and the
+    MXU accumulates the implicit GEMM in int32 (v5e int8 peak = 2x bf16).
+    """
+    xf = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True), 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    kf = kernel.astype(jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2), keepdims=True), 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(kf / s_w), -127, 127).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        x_q,
+        w_q,
+        window_strides=strides,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * s_x * s_w.reshape(1, 1, 1, -1)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(out_dtype or x.dtype)

@@ -136,3 +136,144 @@ def test_sampler_end_to_end_int8_close_to_fp32(quant_int8):
     # Quantization error compounds over steps; demand closeness, not equality.
     rel = np.linalg.norm(lat_q - lat_f) / max(np.linalg.norm(lat_f), 1e-9)
     assert 0.0 < rel < 0.35, rel
+
+
+# ---------------------------------------------------------------------------
+# int8_conv (SDBL_QUANT=int8_conv): the UNet ResNet 3x3 convs
+# ---------------------------------------------------------------------------
+
+
+def _numpy_w8a8_conv(x, w, b=None, pad=1):
+    """Independent emulation: per-sample act scale, per-out-channel weight
+    scale, integer accumulation via an explicit im2col loop (fp64 holds the
+    int32 range exactly)."""
+    x = np.asarray(x, np.float64)
+    w = np.asarray(w, np.float64)  # [kh, kw, C, O]
+    s_x = np.maximum(np.max(np.abs(x), axis=(1, 2, 3), keepdims=True), 1e-12) / 127.0
+    x_q = np.clip(np.round(x / s_x), -127, 127)
+    s_w = np.maximum(np.max(np.abs(w), axis=(0, 1, 2), keepdims=True), 1e-12) / 127.0
+    w_q = np.clip(np.round(w / s_w), -127, 127)
+    B, H, W, C = x.shape
+    kh, kw, _, O = w.shape
+    xp = np.pad(x_q, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    out = np.zeros((B, H, W, O))
+    for i in range(kh):
+        for j in range(kw):
+            patch = xp[:, i:i + H, j:j + W, :]  # [B,H,W,C]
+            out += np.einsum("bhwc,co->bhwo", patch, w_q[i, j])
+    out = out * s_x * s_w.reshape(1, 1, 1, -1)
+    if b is not None:
+        out = out + np.asarray(b, np.float64)
+    return out
+
+
+def test_int8_conv_matches_numpy_emulation_exactly():
+    from sonicdiffusionbayeslab_tpu.ops.quant import int8_conv
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 6, 5, 7)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 7, 9)).astype(np.float32)
+    b = rng.standard_normal((9,)).astype(np.float32)
+    got = np.asarray(int8_conv(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                               out_dtype=jnp.float32))
+    want = _numpy_w8a8_conv(x, w, b)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_conv_error_bound_vs_fp32():
+    from sonicdiffusionbayeslab_tpu.ops.quant import int8_conv
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 16, 16, 64)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 64, 64)) / np.sqrt(9 * 64)).astype(np.float32)
+    exact = np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    got = np.asarray(int8_conv(jnp.asarray(x), jnp.asarray(w), out_dtype=jnp.float32))
+    rel = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+    assert rel < 0.02, rel
+
+
+def test_quant_conv_param_tree_identical_to_nn_conv():
+    from sonicdiffusionbayeslab_tpu.models.layers import QuantConv
+
+    x = jnp.ones((1, 4, 4, 5))
+    p_q = QuantConv(6, (3, 3), padding=1, param_dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(0), x)["params"]
+    p_c = nn.Conv(6, (3, 3), padding=1, param_dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(p_q) == jax.tree_util.tree_structure(p_c)
+    for a, b in zip(jax.tree_util.tree_leaves(p_q), jax.tree_util.tree_leaves(p_c)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+
+@pytest.fixture
+def quant_int8_conv():
+    set_quant_mode("int8_conv")
+    try:
+        yield
+    finally:
+        set_quant_mode(None)
+
+
+def test_resnet_block_dispatch_and_vae_opt_out(quant_int8_conv):
+    """Under int8_conv, UNet ResnetBlocks quantize their 3x3 convs; a
+    ResnetBlock with allow_quant=False (the VAE's) is bit-identical to the
+    exact path with the same params."""
+    from sonicdiffusionbayeslab_tpu.models.layers import ResnetBlock
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((1, 32)).astype(np.float32))
+
+    blk = ResnetBlock(16)
+    params = blk.init(jax.random.PRNGKey(0), x, t)["params"]
+    out_q = blk.apply({"params": params}, x, t)
+
+    blk_exact = ResnetBlock(16, allow_quant=False)
+    out_noq = blk_exact.apply({"params": params}, x, t)
+
+    set_quant_mode(None)
+    out_f = blk.apply({"params": params}, x, t)
+
+    # opt-out == exact path bitwise; quantized path differs but is close.
+    np.testing.assert_array_equal(np.asarray(out_noq), np.asarray(out_f))
+    assert not np.array_equal(np.asarray(out_q), np.asarray(out_f))
+    rel = np.linalg.norm(np.asarray(out_q) - np.asarray(out_f)) / np.linalg.norm(np.asarray(out_f))
+    assert rel < 0.05, rel
+
+
+def test_sampler_end_to_end_int8_conv(quant_int8_conv):
+    """Tiny engine samples under int8_conv: finite, bounded drift vs exact,
+    and the VAE decode path emits identical params/trace structure."""
+    from sonicdiffusionbayeslab_tpu.models import (
+        CLIPTextConfig,
+        StableDiffusionEngine,
+        UNetConfig,
+        VAEConfig,
+    )
+    from sonicdiffusionbayeslab_tpu.models.tokenizer import HashTokenizer
+    from sonicdiffusionbayeslab_tpu.schedulers import DPMSolverScheduler
+
+    engine = StableDiffusionEngine(
+        UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny(),
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    params = engine.init_params(seed=0, latent_hw=8)
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    embeds = engine.encode_prompts(params, tok(["a boat"]))
+    neg = engine.encode_prompts(params, tok([""]))
+    plan = DPMSolverScheduler(solver_order=2).build_plan(5)
+    key = jax.random.PRNGKey(3)
+    kw = dict(latent_hw=(8, 8), guidance_scale=7.5, decode=False)
+
+    out_q = engine.sample(params, plan, embeds, neg, key, **kw)
+    set_quant_mode(None)
+    out_f = engine.sample(params, plan, embeds, neg, key, **kw)
+
+    lat_q = np.asarray(out_q.latents, np.float32)
+    lat_f = np.asarray(out_f.latents, np.float32)
+    assert np.isfinite(lat_q).all()
+    rel = np.linalg.norm(lat_q - lat_f) / max(np.linalg.norm(lat_f), 1e-9)
+    assert 0.0 < rel < 0.6, rel
