@@ -299,6 +299,14 @@ class StableDiffusionModel:
             microbatch=self.unet_microbatch if unet_microbatch is None else unet_microbatch,
             **self._extra_sample_kwargs(len(prompt), lat_hw),
         )
+        if output_type == "device":
+            # Serving fast path: hand back the (possibly still-executing)
+            # device arrays so the caller can overlap this batch's VAE
+            # decode + D2H readback with the next batch's dispatch
+            # (serving/batcher.py pipeline_depth).  np.asarray on the
+            # result performs the readback.
+            images = out.images if out.images is not None else out.latents
+            return images, out.execution_time, out.x0_images
         images = np.asarray(out.images) if out.images is not None else np.asarray(out.latents)
         x0 = np.asarray(out.x0_images) if out.x0_images is not None else None
         return images, out.execution_time, x0

@@ -12,7 +12,14 @@ compilation.  The batcher therefore:
 - keeps per-request RNG streams independent of batch composition (the
   engine's per-sample ``fold_in`` keyed by a server-wide request counter),
   so a request's image does not depend on which requests it shared a batch
-  with.
+  with,
+- overlaps batches (``pipeline_depth`` > 1): the worker gets device arrays
+  back from the pipeline (``output_type="device"``) and hands the host
+  readback + future resolution to a finisher thread, so batch N+1's text
+  encode and denoise dispatch while batch N's VAE decode / D2H transfer is
+  still in flight — JAX dispatch is async, so the device queue stays full
+  back-to-back.  The finisher queue is bounded at ``pipeline_depth - 1``
+  outstanding batches, which bounds live device buffers.
 """
 
 from __future__ import annotations
@@ -64,11 +71,12 @@ class InferenceServer:
     scheduler) behind a thread-safe ``submit`` -> Future API."""
 
     def __init__(self, pipe, max_batch: int = 8, max_wait_ms: float = 25.0,
-                 max_pending: int = 256):
+                 max_pending: int = 256, pipeline_depth: int = 2):
         self.pipe = pipe
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.max_pending = int(max_pending)
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._backlog: "collections.deque[_Pending]" = collections.deque()
         self._counter = 0
@@ -81,6 +89,14 @@ class InferenceServer:
             "requests": 0, "images": 0, "batches": 0, "errors": 0,
             "rejected": 0, "timeouts": 0, "batch_seconds": 0.0,
         }
+        # Batch-overlap stage: bounded hand-off of completed-on-device
+        # batches whose host readback happens off the worker thread.
+        self._finisher: Optional[threading.Thread] = None
+        if self.pipeline_depth > 1:
+            self._finish_queue: "queue.Queue" = queue.Queue(
+                maxsize=self.pipeline_depth - 1)
+            self._finisher = threading.Thread(target=self._finish_loop, daemon=True)
+            self._finisher.start()
         self._worker.start()
 
     # ------------------------------------------------------------- client
@@ -147,6 +163,13 @@ class InferenceServer:
         self._queue.put(None)  # wake the worker
         if wait:
             self._worker.join(timeout=30)
+        # Everything the worker handed off must resolve before we fail the
+        # rest: the worker is joined, so no further puts can race the
+        # sentinel.
+        if self._finisher is not None:
+            self._finish_queue.put(None)
+            if wait:
+                self._finisher.join(timeout=60)
         # Fail queued-but-unserved requests immediately instead of leaving
         # their callers blocked until timeout.
         err = RuntimeError("server is shut down")
@@ -224,7 +247,8 @@ class InferenceServer:
             try:
                 self._run_batch(batch)
             except Exception as e:  # the worker must never die
-                self.stats["errors"] += len(batch)
+                with self._counter_lock:
+                    self.stats["errors"] += len(batch)
                 for p in batch:
                     self._resolve(p, exc=e)
 
@@ -249,6 +273,7 @@ class InferenceServer:
         size_kw = {}
         if reqs[0].height is not None or reqs[0].width is not None:
             size_kw = dict(height=reqs[0].height, width=reqs[0].width)
+        pipelined = self._finisher is not None and self._finisher.is_alive()
         t0 = time.perf_counter()
         try:
             images, exec_time, _ = self.pipe(
@@ -258,22 +283,69 @@ class InferenceServer:
                 negative_prompt=negatives,
                 sample_indices=indices,
                 key=jax.random.PRNGKey(0),
+                **(dict(output_type="device") if pipelined else {}),
                 **size_kw,
             )
         except Exception as e:  # deliver the failure to every caller
-            self.stats["errors"] += len(batch)
+            with self._counter_lock:
+                self.stats["errors"] += len(batch)
             for p in batch:
                 self._resolve(p, exc=e)
             return
+        nfe = self.pipe.num_timesteps  # capture NOW: the next overlapped
+        # call may change it before the finisher resolves this batch
+        if pipelined:
+            # Device arrays — the put blocks only when pipeline_depth - 1
+            # batches are already awaiting readback (bounded device memory).
+            self._finish_queue.put((batch, n, images, exec_time, nfe, t0))
+            return
+        self._finalize(batch, n, np.asarray(images), exec_time, nfe, t0)
+
+    def _finish_loop(self) -> None:
+        """Readback stage: np.asarray blocks on the batch's VAE decode +
+        D2H transfer while the worker thread is already dispatching the
+        next batch."""
+        while True:
+            item = self._finish_queue.get()
+            if item is None:
+                # Shutdown sentinel (sent after the worker stops putting):
+                # drain stragglers so no caller is left hanging.
+                while True:
+                    try:
+                        item = self._finish_queue.get_nowait()
+                    except queue.Empty:
+                        return
+                    if item is not None:
+                        self._finish_item(item)
+                return
+            self._finish_item(item)
+
+    def _finish_item(self, item) -> None:
+        batch, n, images, exec_time, nfe, t0 = item
+        try:
+            host = np.asarray(images)
+        except Exception as e:  # a deferred device error surfaces here
+            with self._counter_lock:
+                self.stats["errors"] += len(batch)
+            for p in batch:
+                self._resolve(p, exc=e)
+            return
+        self._finalize(batch, n, host, exec_time, nfe, t0)
+
+    def _finalize(self, batch: List[_Pending], n: int, images: np.ndarray,
+                  exec_time: float, nfe: int, t0: float) -> None:
         wall = time.perf_counter() - t0
-        self.stats["requests"] += len(batch)
-        self.stats["images"] += len(batch)
-        self.stats["batches"] += 1
-        self.stats["batch_seconds"] += wall
+        with self._counter_lock:
+            self.stats["requests"] += len(batch)
+            self.stats["images"] += len(batch)
+            self.stats["batches"] += 1
+            # dispatch-to-host wall clock; overlapped batches' spans overlap,
+            # so the sum can exceed elapsed time under pipeline_depth > 1.
+            self.stats["batch_seconds"] += wall
         for i, p in enumerate(batch):
             self._resolve(p, result={
-                "image": np.asarray(images[i]),
+                "image": images[i],
                 "execution_time": exec_time,
                 "batch_size": n,
-                "nfe": self.pipe.num_timesteps,
+                "nfe": nfe,
             })

@@ -102,10 +102,12 @@ def make_handler(server: InferenceServer, model_name: str):
 
 def serve(pipe, model_name: str, host: str = "127.0.0.1", port: int = 8000,
           max_batch: int = 8, max_wait_ms: float = 25.0,
+          pipeline_depth: int = 2,
           ready_event: Optional[threading.Event] = None):
     """Blocking serve loop; returns (httpd, inference_server) via the
     ready_event hook for tests."""
-    inference = InferenceServer(pipe, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    inference = InferenceServer(pipe, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                                pipeline_depth=pipeline_depth)
     httpd = ThreadingHTTPServer((host, port), make_handler(inference, model_name))
     if ready_event is not None:
         ready_event.httpd = httpd  # type: ignore[attr-defined]
@@ -135,6 +137,9 @@ def main() -> None:
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--max_batch", type=int, default=8)
     parser.add_argument("--max_wait_ms", type=float, default=25.0)
+    parser.add_argument("--pipeline_depth", type=int, default=2,
+                        help="overlapped batches: worker dispatches batch N+1 "
+                             "while batch N's decode/readback finishes (1 = serial)")
     parser.add_argument("--mesh_data", type=int, default=0,
                         help="data-parallel mesh axis (0 = single device)")
     parser.add_argument("--mesh_seq", type=int, default=1)
@@ -164,7 +169,8 @@ def main() -> None:
     if skw:
         print(f"scheduler kwargs from experiment_params: {skw}")
     print(f"serving {name} ({sname}) on http://{args.host}:{args.port}")
-    serve(pipe, name, args.host, args.port, args.max_batch, args.max_wait_ms)
+    serve(pipe, name, args.host, args.port, args.max_batch, args.max_wait_ms,
+          args.pipeline_depth)
 
 
 if __name__ == "__main__":

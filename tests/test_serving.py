@@ -255,3 +255,111 @@ def test_nonsquare_requests_group_by_shape(server):
     assert outs[0]["image"].shape == (16, 32, 3)
     assert outs[1]["image"].shape == (16, 16, 3)
     assert outs[2]["image"].shape == (16, 32, 3)
+
+
+# ---------------------------------------------------------------------------
+# Batch-overlap pipelining (pipeline_depth > 1): the worker hands host
+# readback to a finisher thread so batch N+1 dispatches while batch N's
+# decode/D2H is in flight.
+# ---------------------------------------------------------------------------
+
+
+class _LazyArray:
+    """Device-array stand-in whose host readback (``__array__``) is slow —
+    models the VAE-decode + D2H transfer np.asarray blocks on."""
+
+    def __init__(self, shape, readback_s, log, tag):
+        self.shape = shape
+        self.readback_s = readback_s
+        self.log = log
+        self.tag = tag
+
+    def __array__(self, *args, **kw):
+        time.sleep(self.readback_s)
+        self.log.append(("readback_done", self.tag, time.monotonic()))
+        return np.zeros(self.shape, np.float32)
+
+
+class _OverlapPipe:
+    """Fast 'device step', slow readback; logs call/readback timestamps."""
+
+    num_timesteps = 2
+
+    def __init__(self, compute_s=0.05, readback_s=0.3):
+        self.compute_s = compute_s
+        self.readback_s = readback_s
+        self.log = []
+        self.calls = 0
+
+    def __call__(self, prompts, output_type="np", **kw):
+        self.calls += 1
+        self.log.append(("call", self.calls, time.monotonic()))
+        time.sleep(self.compute_s)
+        arr = _LazyArray((len(prompts), 4, 4, 3), self.readback_s, self.log, self.calls)
+        if output_type == "device":
+            return arr, 0.01, None
+        return np.asarray(arr), 0.01, None
+
+
+def test_pipelined_worker_overlaps_readback():
+    """With pipeline_depth=2 the worker dispatches batch 2 while batch 1's
+    readback is still running (the load-bearing overlap claim)."""
+    fake = _OverlapPipe(compute_s=0.05, readback_s=0.4)
+    s = InferenceServer(fake, max_batch=1, max_wait_ms=1.0, pipeline_depth=2)
+    try:
+        futs = [s.submit(GenerateRequest(f"p{i}", num_inference_steps=2))
+                for i in range(3)]
+        outs = [f.result(timeout=60) for f in futs]
+        assert all(o["image"].shape == (4, 4, 3) for o in outs)
+        calls = [t for kind, _, t in fake.log if kind == "call"]
+        readbacks = [t for kind, _, t in fake.log if kind == "readback_done"]
+        assert len(calls) == 3 and len(readbacks) == 3
+        # batch 2's device call started BEFORE batch 1's readback finished.
+        assert calls[1] < readbacks[0], (calls, readbacks)
+        assert s.stats["batches"] == 3 and s.stats["errors"] == 0
+    finally:
+        s.shutdown()
+
+
+def test_pipeline_depth_1_is_serial():
+    """Control: depth=1 keeps the old fully-serial worker (readback before
+    the next dispatch)."""
+    fake = _OverlapPipe(compute_s=0.01, readback_s=0.2)
+    s = InferenceServer(fake, max_batch=1, max_wait_ms=1.0, pipeline_depth=1)
+    try:
+        futs = [s.submit(GenerateRequest(f"p{i}", num_inference_steps=2))
+                for i in range(2)]
+        [f.result(timeout=60) for f in futs]
+        calls = [t for kind, _, t in fake.log if kind == "call"]
+        readbacks = [t for kind, _, t in fake.log if kind == "readback_done"]
+        assert calls[1] >= readbacks[0], (calls, readbacks)
+    finally:
+        s.shutdown()
+
+
+def test_pipelined_results_match_serial(pipe):
+    """The overlap is pure plumbing: a seeded request's image is identical
+    through a pipelined server and a depth-1 server."""
+    s1 = InferenceServer(pipe, max_batch=2, max_wait_ms=1.0, pipeline_depth=1)
+    s2 = InferenceServer(pipe, max_batch=2, max_wait_ms=1.0, pipeline_depth=3)
+    try:
+        req = GenerateRequest("a red boat", num_inference_steps=3, seed=11)
+        a = s1.generate(req, timeout=300)
+        b = s2.generate(req, timeout=300)
+        np.testing.assert_array_equal(a["image"], b["image"])
+        assert b["nfe"] == a["nfe"] == 3
+    finally:
+        s1.shutdown()
+        s2.shutdown()
+
+
+def test_pipelined_drain_resolves_every_future():
+    """Graceful drain with batches parked in the finisher queue: zero lost
+    futures, all readbacks complete before shutdown returns."""
+    fake = _OverlapPipe(compute_s=0.01, readback_s=0.1)
+    s = InferenceServer(fake, max_batch=1, max_wait_ms=1.0, pipeline_depth=3)
+    futs = [s.submit(GenerateRequest(f"p{i}", num_inference_steps=2))
+            for i in range(5)]
+    s.shutdown(wait=True, drain=True)
+    outs = [f.result(timeout=1) for f in futs]  # resolved already
+    assert len(outs) == 5 and all(o["image"].shape == (4, 4, 3) for o in outs)
