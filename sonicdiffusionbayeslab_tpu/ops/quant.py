@@ -50,12 +50,14 @@ import jax.numpy as jnp
 
 _MODE = None  # None = resolve from env
 
-_MODES = (None, "int8", "int8_conv")
+_MODES = (None, "int8", "int8_conv", "int8_conv_only")
 
 
 def set_quant_mode(mode: Optional[str]) -> None:
     """'int8' (projections/FFN) | 'int8_conv' (projections + ResNet 3x3
-    convs) | None (off)."""
+    convs) | 'int8_conv_only' (ResNet convs, projections stay bf16 — the
+    measured-best mode: on v5e the projections' per-token quantize overhead
+    eats their MXU gain, docs/PERF.md) | None (off)."""
     global _MODE
     if mode not in _MODES:
         raise ValueError(f"unknown quant mode {mode!r}")
@@ -67,18 +69,20 @@ def get_quant_mode() -> Optional[str]:
         return _MODE
     env = os.environ.get("SDBL_QUANT", "").strip().lower() or None
     if env not in _MODES:
-        raise ValueError(f"unknown SDBL_QUANT {env!r} (int8 | int8_conv | unset)")
+        raise ValueError(
+            f"unknown SDBL_QUANT {env!r} (int8 | int8_conv | int8_conv_only | unset)"
+        )
     return env
 
 
 def dense_quant_enabled() -> bool:
-    """int8 projections are active (both 'int8' and 'int8_conv' modes)."""
+    """int8 projections are active ('int8' and 'int8_conv' modes)."""
     return get_quant_mode() in ("int8", "int8_conv")
 
 
 def conv_quant_enabled() -> bool:
-    """int8 ResNet convs are active ('int8_conv' mode only)."""
-    return get_quant_mode() == "int8_conv"
+    """int8 ResNet convs are active ('int8_conv' / 'int8_conv_only')."""
+    return get_quant_mode() in ("int8_conv", "int8_conv_only")
 
 
 def _quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:

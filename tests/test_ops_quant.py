@@ -277,3 +277,20 @@ def test_sampler_end_to_end_int8_conv(quant_int8_conv):
     assert np.isfinite(lat_q).all()
     rel = np.linalg.norm(lat_q - lat_f) / max(np.linalg.norm(lat_f), 1e-9)
     assert 0.0 < rel < 0.6, rel
+
+
+def test_int8_conv_only_mode_dispatch():
+    """'int8_conv_only' (the measured-best v5e mode, docs/PERF.md): ResNet
+    convs quantize, projections stay exact nn.Dense."""
+    from sonicdiffusionbayeslab_tpu.models.layers import projection_dense
+    from sonicdiffusionbayeslab_tpu.ops.quant import (
+        conv_quant_enabled,
+        dense_quant_enabled,
+    )
+
+    set_quant_mode("int8_conv_only")
+    try:
+        assert conv_quant_enabled() and not dense_quant_enabled()
+        assert isinstance(projection_dense(4, name="x"), nn.Dense)
+    finally:
+        set_quant_mode(None)
