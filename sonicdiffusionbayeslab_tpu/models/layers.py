@@ -448,32 +448,46 @@ class Downsample(nn.Module):
     """Strided 3x3 conv.  ``asymmetric_pad`` reproduces the SD VAE encoder's
     convention (diffusers Downsample2D with use_conv=True, padding=0 followed
     by F.pad (0,1,0,1)): zero rows/cols added on the RIGHT/BOTTOM only.  The
-    UNet's downsamplers use symmetric padding=1."""
+    UNet's downsamplers use symmetric padding=1.
+
+    ``allow_quant``: under the int8 conv quant modes (ops/quant.py) the 3x3
+    runs W8A8.  Opt-IN (default False) — only the UNet passes True; the VAE
+    and ControlNet stay exact."""
 
     channels: int
     asymmetric_pad: bool = False
+    allow_quant: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from sonicdiffusionbayeslab_tpu.ops.quant import conv_quant_enabled
+
         pad = ((0, 1), (0, 1)) if self.asymmetric_pad else 1
-        return nn.Conv(
+        conv_cls = QuantConv if (self.allow_quant and conv_quant_enabled()) else nn.Conv
+        return conv_cls(
             self.channels, (3, 3), strides=(2, 2), padding=pad,
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
         )(x)
 
 
 class Upsample(nn.Module):
+    """Nearest-2x resize + 3x3 conv.  ``allow_quant`` as in Downsample."""
+
     channels: int
+    allow_quant: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from sonicdiffusionbayeslab_tpu.ops.quant import conv_quant_enabled
+
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
-        return nn.Conv(
+        conv_cls = QuantConv if (self.allow_quant and conv_quant_enabled()) else nn.Conv
+        return conv_cls(
             self.channels, (3, 3), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name="conv"
         )(x)
 

@@ -339,7 +339,7 @@ class UNet2DCondition(nn.Module):
             # Level b's downsample feeds (and its skip is consumed by) the
             # trunk only, so the shallow pass stops before it.
             if lvl < n_levels - 1 and (deep or lvl < branch):
-                h = Downsample(ch, name=f"down_{lvl}_downsample", **kw)(h)
+                h = Downsample(ch, name=f"down_{lvl}_downsample", allow_quant=True, **kw)(h)
                 skips.append(h)
 
         if control_residuals is not None:
@@ -371,7 +371,7 @@ class UNet2DCondition(nn.Module):
                     h = res(ch, f"up_{lvl}_res_{j}")(jnp.concatenate([h, skip], axis=-1), t_emb)
                     if cfg.cross_attention[lvl]:
                         h = xfmr(ch, f"up_{lvl}_attn_{j}", lvl)(h, ctx)
-                h = Upsample(ch, name=f"up_{lvl}_upsample", **kw)(h)
+                h = Upsample(ch, name=f"up_{lvl}_upsample", allow_quant=True, **kw)(h)
             deep_features = h
         else:
             deep_features = cache.astype(self.dtype)
@@ -386,7 +386,7 @@ class UNet2DCondition(nn.Module):
                 if cfg.cross_attention[lvl]:
                     h = xfmr(ch, f"up_{lvl}_attn_{j}", lvl)(h, ctx)
             if lvl > 0:
-                h = Upsample(ch, name=f"up_{lvl}_upsample", **kw)(h)
+                h = Upsample(ch, name=f"up_{lvl}_upsample", allow_quant=True, **kw)(h)
 
         h = GroupNorm(silu=True, name="conv_norm_out", **kw)(h)
         out = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **kw)(h)

@@ -279,6 +279,36 @@ def test_sampler_end_to_end_int8_conv(quant_int8_conv):
     assert 0.0 < rel < 0.6, rel
 
 
+def test_sampler_convs_quantize_and_vae_opt_out(quant_int8_conv):
+    """Under int8 conv modes the UNet's Downsample/Upsample 3x3s quantize
+    (allow_quant=True at the UNet call sites); the default (the VAE's and
+    ControlNet's) stays bit-identical to the exact path, same param tree."""
+    from sonicdiffusionbayeslab_tpu.models.layers import Downsample, Upsample
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)).astype(np.float32))
+
+    for mod_q, mod_d in [
+        (Downsample(16, allow_quant=True), Downsample(16)),
+        (Upsample(16, allow_quant=True), Upsample(16)),
+    ]:
+        params = mod_q.init(jax.random.PRNGKey(0), x)["params"]
+        assert jax.tree.structure(params) == jax.tree.structure(
+            mod_d.init(jax.random.PRNGKey(0), x)["params"]
+        )
+        out_q = mod_q.apply({"params": params}, x)
+        out_default = mod_d.apply({"params": params}, x)
+        set_quant_mode(None)
+        out_f = mod_q.apply({"params": params}, x)
+        set_quant_mode("int8_conv")
+        np.testing.assert_array_equal(np.asarray(out_default), np.asarray(out_f))
+        assert not np.array_equal(np.asarray(out_q), np.asarray(out_f))
+        rel = np.linalg.norm(np.asarray(out_q) - np.asarray(out_f)) / np.linalg.norm(
+            np.asarray(out_f)
+        )
+        assert rel < 0.05, rel
+
+
 def test_int8_conv_only_mode_dispatch():
     """'int8_conv_only' (the measured-best v5e mode, docs/PERF.md): ResNet
     convs quantize, projections stay exact nn.Dense."""
