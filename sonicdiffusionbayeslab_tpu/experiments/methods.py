@@ -16,6 +16,13 @@ from sonicdiffusionbayeslab_tpu.models.sampler import CachePlan
 from sonicdiffusionbayeslab_tpu.registry import methods_registry
 
 
+def _sweep(v) -> list:
+    """Sweep axes accept a YAML list ([10, 20]) or a bare scalar (20) —
+    the reference requires lists and crashes on scalars; a single-point
+    sweep is a legitimate config."""
+    return list(v) if isinstance(v, (list, tuple)) else [v]
+
+
 @methods_registry.add_to_registry("default")
 class DefaultStableDiffusion(BaseMethod):
     """Baseline sweep with SD's default PNDM/PLMS scheduler (reference
@@ -25,7 +32,7 @@ class DefaultStableDiffusion(BaseMethod):
         self.model.scheduler = self.build_scheduler("pndm_scheduler")
 
     def grid(self) -> Iterable[dict]:
-        for steps in self.params.get("num_inference_steps", [50]):
+        for steps in _sweep(self.params.get("num_inference_steps", [50])):
             yield {
                 "label": f"steps_{steps}",
                 "call_kw": {"num_inference_steps": int(steps), "use_x0": True},
@@ -38,7 +45,7 @@ class DDIMMethod(BaseMethod):
 
     def grid(self) -> Iterable[dict]:
         use_x0 = bool(self.params.get("use_x0", False))
-        for steps in self.params.get("num_inference_steps", [50]):
+        for steps in _sweep(self.params.get("num_inference_steps", [50])):
             yield {
                 "label": f"steps_{steps}",
                 "call_kw": {"num_inference_steps": int(steps), "use_x0": use_x0},
@@ -62,7 +69,7 @@ class DPMSolverMethod(BaseMethod):
         )
 
     def grid(self) -> Iterable[dict]:
-        for steps in self.params.get("num_inference_steps", [20]):
+        for steps in _sweep(self.params.get("num_inference_steps", [20])):
             yield {
                 "label": f"steps_{steps}",
                 "call_kw": {"num_inference_steps": int(steps), "use_x0": True},
@@ -84,7 +91,7 @@ class UniPCMethod(BaseMethod):
         )
 
     def grid(self) -> Iterable[dict]:
-        for steps in self.params.get("num_inference_steps", [20]):
+        for steps in _sweep(self.params.get("num_inference_steps", [20])):
             yield {
                 "label": f"steps_{steps}",
                 "call_kw": {"num_inference_steps": int(steps), "use_x0": True},
@@ -105,7 +112,7 @@ class DEISMethod(BaseMethod):
         )
 
     def grid(self) -> Iterable[dict]:
-        for steps in self.params.get("num_inference_steps", [20]):
+        for steps in _sweep(self.params.get("num_inference_steps", [20])):
             yield {
                 "label": f"steps_{steps}",
                 "call_kw": {"num_inference_steps": int(steps), "use_x0": True},
@@ -119,10 +126,10 @@ class DeepCacheMethod(BaseMethod):
     cache schedule is a static CachePlan consumed by the compiled sampler."""
 
     def grid(self) -> Iterable[dict]:
-        intervals = self.params.get("cache_interval", [2])
+        intervals = _sweep(self.params.get("cache_interval", [2]))
         branch = int(self.params.get("cache_branch_id", 0))
         for interval in intervals:
-            for steps in self.params.get("num_inference_steps", [50]):
+            for steps in _sweep(self.params.get("num_inference_steps", [50])):
                 yield {
                     "label": f"interval_{interval}_steps_{steps}",
                     "call_kw": {"num_inference_steps": int(steps)},
@@ -170,7 +177,7 @@ class ConsistencyModelMethod(BaseMethod):
 
     def grid(self) -> Iterable[dict]:
         guidance = float(self.params.get("guidance_scale", 0.0))
-        for steps in self.params.get("num_inference_steps", [4]):
+        for steps in _sweep(self.params.get("num_inference_steps", [4])):
             yield {
                 "label": f"steps_{steps}",
                 "call_kw": {"num_inference_steps": int(steps), "guidance_scale": guidance},
@@ -211,9 +218,9 @@ class TwoSchedulerMethod(_TwoSchedulerBase):
         self.model.scheduler_second = second
 
     def grid(self) -> Iterable[dict]:
-        firsts = self.params.get("num_inference_steps_first", [10])
-        seconds = self.params.get("num_inference_steps_second", firsts)
-        switches = self.params.get("num_step_switch", [1])
+        firsts = _sweep(self.params.get("num_inference_steps_first", [10]))
+        seconds = _sweep(self.params.get("num_inference_steps_second", firsts))
+        switches = _sweep(self.params.get("num_step_switch", [1]))
         type_switch = self.params.get("type_switch", "closest")
         for n1, n2, k in zip(firsts, seconds, switches):
             yield {
@@ -240,7 +247,7 @@ class InterlivingSchedulerMethod(_TwoSchedulerBase):
         self.model.scheduler_inter = inter
 
     def grid(self) -> Iterable[dict]:
-        steps_list = self.params.get("num_inference_steps", [20])
+        steps_list = _sweep(self.params.get("num_inference_steps", [20]))
         inter_lists = self.params.get("interliving_steps", [[0]])
         mode = self.params.get("interleave_mode", "ladder")
         for steps, inters in zip(steps_list, inter_lists):
@@ -268,7 +275,7 @@ class SkipStepsMethod(BaseMethod):
         )
 
     def grid(self) -> Iterable[dict]:
-        steps_list = self.params.get("num_inference_steps", [20])
+        steps_list = _sweep(self.params.get("num_inference_steps", [20]))
         skip_lists = self.params.get("skip_steps", [[]])
         for steps, skips in zip(steps_list, skip_lists):
             yield {
@@ -297,9 +304,9 @@ class TomeMethod(BaseMethod):
         )
 
     def grid(self) -> Iterable[dict]:
-        ratios = self.params.get("tome_ratio", [0.5])
+        ratios = _sweep(self.params.get("tome_ratio", [0.5]))
         for ratio in ratios:
-            for steps in self.params.get("num_inference_steps", [20]):
+            for steps in _sweep(self.params.get("num_inference_steps", [20])):
                 yield {
                     "label": f"ratio_{ratio}_steps_{steps}",
                     "call_kw": {
