@@ -78,7 +78,11 @@ def main():
 
     if on_tpu and not quick:
         unet_cfg, vae_cfg, text_cfg = UNetConfig.sd15(), VAEConfig.sd15(), CLIPTextConfig.sd15()
-        latent_hw, batch = 64, int(os.environ.get("SDBL_BENCH_BATCH", "8"))
+        # Batch 64 + unet_microbatch 8: the measured-best EXACT operating
+        # point (docs/PERF.md batch sweep — each UNet chunk is the batch-8
+        # sweet-spot program, fixed per-step overhead amortized over 8x the
+        # images; output-identical to unchunked, +3.4% over batch 8).
+        latent_hw, batch = 64, int(os.environ.get("SDBL_BENCH_BATCH", "64"))
         tag = "SD-1.5 512px"
     else:  # CPU smoke fallback — geometry scaled down, still the same graph.
         unet_cfg, vae_cfg, text_cfg = UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny()
@@ -95,7 +99,10 @@ def main():
 
     plan = DPMSolverScheduler(solver_order=2).build_plan(20)
     key = jax.random.PRNGKey(29)
-    kw = dict(latent_hw=(latent_hw, latent_hw), guidance_scale=7.5, decode=False)
+    mb_env = os.environ.get("SDBL_BENCH_MICROBATCH", "")
+    microbatch = int(mb_env) if mb_env else (batch // 8 if batch >= 16 else None)
+    kw = dict(latent_hw=(latent_hw, latent_hw), guidance_scale=7.5, decode=False,
+              microbatch=microbatch)
 
     # Warm-up / compile.
     engine.sample(params, plan, embeds, neg, key, **kw)
