@@ -441,7 +441,16 @@ class SpatialTransformer(nn.Module):
         if self.cfg_tile:
             residual = jnp.concatenate([residual, residual], axis=0)
             B = 2 * B
-        return h.reshape(B, H, W, C) + residual
+        import os
+
+        out = h.reshape(B, H, W, C) + residual
+        if os.environ.get("SDBL_XFMR_BARRIER", "") == "1":
+            # Perf experiment: keep the transformer's token-major layouts
+            # from leaking into the neighboring convs' fusions (the profile
+            # shows N-minor [B,N,C] boundary fusions at ~49 TFLOP/s vs
+            # 140+ for clean convs at the 64x64 level; docs/PERF.md).
+            out = jax.lax.optimization_barrier(out)
+        return out
 
 
 class Downsample(nn.Module):

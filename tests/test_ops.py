@@ -60,3 +60,22 @@ def test_backend_dispatch_explicit():
             set_attention_backend("bogus")
     finally:
         set_attention_backend(None)
+
+
+def test_xfmr_barrier_is_exact(monkeypatch):
+    """SDBL_XFMR_BARRIER (perf knob, docs/PERF.md): the transformer/conv
+    boundary optimization_barrier must be bit-exact — identical outputs
+    with the flag on and off, same params."""
+    from sonicdiffusionbayeslab_tpu.models.layers import SpatialTransformer
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 32)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((2, 7, 24)).astype(np.float32))
+    st = SpatialTransformer(num_heads=2, head_dim=16)
+    params = st.init(jax.random.PRNGKey(0), x, ctx)["params"]
+
+    monkeypatch.delenv("SDBL_XFMR_BARRIER", raising=False)
+    out_off = st.apply({"params": params}, x, ctx)
+    monkeypatch.setenv("SDBL_XFMR_BARRIER", "1")
+    out_on = st.apply({"params": params}, x, ctx)
+    np.testing.assert_array_equal(np.asarray(out_off), np.asarray(out_on))
