@@ -347,7 +347,71 @@ class StableDiffusionEngine:
                     lat_in = lat_in.astype(unet.dtype)
 
                 tb = jnp.broadcast_to(xs["timestep"], (lat_in.shape[0],))
-                if use_cache:
+
+                def mb_chunk(x):
+                    MB = lat_in.shape[0]
+                    if MB % microbatch:
+                        raise ValueError(
+                            f"unet_microbatch {microbatch} must divide the "
+                            f"model batch {MB}"
+                        )
+                    return x.reshape((microbatch, MB // microbatch) + x.shape[1:])
+
+                def mb_merge(x):
+                    return x.reshape((lat_in.shape[0],) + x.shape[2:])
+
+                if use_cache and microbatch > 1:
+                    # DeepCache x micro-batching: the cache tensor is batch-
+                    # leading, so it chunks exactly like the latents; each
+                    # chunk's deep trunk / shallow pass runs at the memory-
+                    # friendly chunk width.
+                    base = {
+                        "lat": mb_chunk(lat_in), "tb": mb_chunk(tb),
+                        "emb": mb_chunk(embeds),
+                    }
+                    if has_added:
+                        base["added_text"] = mb_chunk(added["text_embeds"])
+                        base["added_ids"] = mb_chunk(added["time_ids"])
+                    if use_tcond:
+                        base["tcond"] = mb_chunk(ip_kw["timestep_cond"])
+
+                    def chunk_added(c):
+                        return (
+                            {"text_embeds": c["added_text"], "time_ids": c["added_ids"]}
+                            if has_added else None
+                        )
+
+                    def chunk_kw(c):
+                        return {"timestep_cond": c["tcond"]} if use_tcond else {}
+
+                    def full(c):
+                        def one(a):
+                            return unet.apply(
+                                {"params": unet_params}, a["lat"], a["tb"], a["emb"],
+                                chunk_added(a), return_cache=True,
+                                cache_branch_id=cache_branch, tome=tome,
+                                **chunk_kw(a),
+                            )
+
+                        preds, caches = jax.lax.map(one, base)
+                        return mb_merge(preds), mb_merge(caches)
+
+                    def cached(c):
+                        def one(a):
+                            return unet.apply(
+                                {"params": unet_params}, a["lat"], a["tb"], a["emb"],
+                                chunk_added(a), cache=a["cache"],
+                                cache_branch_id=cache_branch, tome=tome,
+                                **chunk_kw(a),
+                            )
+
+                        preds = jax.lax.map(one, {**base, "cache": mb_chunk(c)})
+                        return mb_merge(preds), c
+
+                    noise_pred, new_cache = jax.lax.cond(
+                        xs["cache_full"] > 0, full, cached, carry["cache"]
+                    )
+                elif use_cache:
                     def full(c):
                         return unet.apply(
                             {"params": unet_params}, lat_in, tb, embeds, added,
@@ -624,6 +688,15 @@ class StableDiffusionEngine:
             )
             tcond_args = dict(timestep_cond=w_emb)
 
+        if microbatch is None:
+            microbatch = int(os.environ.get("SDBL_UNET_MICROBATCH", "0"))
+        microbatch = int(microbatch)
+        if microbatch > 1 and (control is not None or ip_adapter is not None):
+            raise ValueError(
+                "SDBL_UNET_MICROBATCH composes with the plain/SDXL/LCM/"
+                "DeepCache UNet paths only (not ControlNet/IP-Adapter)"
+            )
+
         ip_args = {}
         if ip_adapter is not None:
             if "image_proj" not in params:
@@ -658,20 +731,12 @@ class StableDiffusionEngine:
             added_args = dict(added_text=pos, added_ids=ids)
 
         donate = bool(os.environ.get("SDBL_DONATE"))
-        if microbatch is None:
-            microbatch = int(os.environ.get("SDBL_UNET_MICROBATCH", "0"))
-        microbatch = int(microbatch)
         if tome is None and os.environ.get("SDBL_TOME_RATIO"):
             tome = float(os.environ["SDBL_TOME_RATIO"])
         if tome is not None and not hasattr(tome, "r_for"):
             from sonicdiffusionbayeslab_tpu.ops.tome import TomeConfig
 
             tome = TomeConfig(ratio=float(tome)) if float(tome) > 0 else None
-        if microbatch > 1 and (use_cache or control is not None or ip_adapter is not None):
-            raise ValueError(
-                "SDBL_UNET_MICROBATCH composes with the plain/SDXL/LCM UNet "
-                "path only (not DeepCache/ControlNet/IP-Adapter)"
-            )
         # CFG shared prefix: a pure perf knob (identical math), so it simply
         # does not engage on paths it cannot deduplicate.
         cfg_prefix = (

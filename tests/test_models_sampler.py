@@ -162,7 +162,8 @@ def test_sample_batch_invariant_latents(engine, params):
 def test_unet_microbatch_matches_plain(engine, params, monkeypatch):
     """SDBL_UNET_MICROBATCH chunks the CFG-doubled UNet batch via lax.map
     (the batch-32 memory fix, docs/PERF.md) — outputs must be identical to
-    the plain path, and DeepCache composition must be refused loudly."""
+    the plain path, including composed with DeepCache (the cache tensor is
+    batch-leading and chunks like the latents)."""
     from sonicdiffusionbayeslab_tpu.models.sampler import CachePlan
 
     tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
@@ -172,14 +173,23 @@ def test_unet_microbatch_matches_plain(engine, params, monkeypatch):
     key = jax.random.PRNGKey(29)
     kw = dict(guidance_scale=7.5, latent_hw=(8, 8))
     plain = engine.sample(params, plan, embeds, neg, key, **kw)
+    cache_plain = engine.sample(params, plan, embeds, neg, key,
+                                cache_plan=CachePlan.every(3, 2), **kw)
     monkeypatch.setenv("SDBL_UNET_MICROBATCH", "2")
     chunked = engine.sample(params, plan, embeds, neg, key, **kw)
     np.testing.assert_allclose(
         np.asarray(chunked.images), np.asarray(plain.images), atol=2e-5
     )
+    cache_chunked = engine.sample(params, plan, embeds, neg, key,
+                                  cache_plan=CachePlan.every(3, 2), **kw)
+    np.testing.assert_allclose(
+        np.asarray(cache_chunked.images), np.asarray(cache_plain.images), atol=2e-5
+    )
+    # ControlNet/IP-Adapter composition is still refused loudly.
     with pytest.raises(ValueError, match="MICROBATCH"):
         engine.sample(params, plan, embeds, neg, key,
-                      cache_plan=CachePlan.every(3, 2), **kw)
+                      ip_adapter={"image_embeds": jnp.zeros((4, 8)), "scale": 1.0},
+                      **kw)
     # non-divisible chunking is an error, not silent truncation
     monkeypatch.setenv("SDBL_UNET_MICROBATCH", "3")
     with pytest.raises(ValueError, match="divide"):
