@@ -128,11 +128,16 @@ class DeepCacheMethod(BaseMethod):
     def grid(self) -> Iterable[dict]:
         intervals = _sweep(self.params.get("cache_interval", [2]))
         branch = int(self.params.get("cache_branch_id", 0))
+        # Optional Token Merging modifier: DeepCache x ToMe compose (both
+        # approximate, same product family; measured 20.3k img/h with int8
+        # quant on top — docs/PERF.md max-stack table).
+        tome = self.params.get("tome_ratio")
+        extra = {"tome_ratio": float(tome)} if tome is not None else {}
         for interval in intervals:
             for steps in _sweep(self.params.get("num_inference_steps", [50])):
                 yield {
                     "label": f"interval_{interval}_steps_{steps}",
-                    "call_kw": {"num_inference_steps": int(steps)},
+                    "call_kw": {"num_inference_steps": int(steps), **extra},
                     "pre": lambda interval=interval: self._enable(int(interval), branch),
                 }
 

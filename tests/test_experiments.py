@@ -196,7 +196,10 @@ def _smoke_config(tmp_path, method, model, extra_params, scheduler=None, extra_m
          {"solver_order": 2, "num_inference_steps": [6], "skip_steps": [[2]]}),
         ("deep_cache", "stable_diffusion_model",
          {"scheduler_name": "ddim_scheduler"},
-         {"cache_interval": [2], "num_inference_steps": [4]}),
+         # tome_ratio modifier: DeepCache x ToMe compose (max-stack,
+         # docs/PERF.md).
+         {"cache_interval": [2], "num_inference_steps": [4],
+          "tome_ratio": 0.5}),
         ("consistency_model", "stable_diffusion_model",
          {"scheduler_name": "lcm_scheduler"},
          {"guidance_scale": 0.0, "num_inference_steps": [2]}),
