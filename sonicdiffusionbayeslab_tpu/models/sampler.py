@@ -447,28 +447,18 @@ class StableDiffusionEngine:
                     # live activation set is one chunk's, not the full
                     # batch's.  Per-chunk batch-shaped operands ride along;
                     # embeds/added/tcond are chunked, everything else closes
-                    # over.  (Cache/control/IP paths keep the plain call —
+                    # over.  (Control/IP paths keep the plain call —
                     # guarded at the sample() entry.)
-                    MB = lat_in.shape[0]
-                    if MB % microbatch:
-                        raise ValueError(
-                            f"unet_microbatch {microbatch} must divide the "
-                            f"model batch {MB}"
-                        )
-
-                    def chunked(x):
-                        return x.reshape((microbatch, MB // microbatch) + x.shape[1:])
-
                     chunk_args = {
-                        "lat": chunked(lat_in),
-                        "tb": chunked(tb),
-                        "emb": chunked(embeds),
+                        "lat": mb_chunk(lat_in),
+                        "tb": mb_chunk(tb),
+                        "emb": mb_chunk(embeds),
                     }
                     if has_added:
-                        chunk_args["added_text"] = chunked(added["text_embeds"])
-                        chunk_args["added_ids"] = chunked(added["time_ids"])
+                        chunk_args["added_text"] = mb_chunk(added["text_embeds"])
+                        chunk_args["added_ids"] = mb_chunk(added["time_ids"])
                     if use_tcond:
-                        chunk_args["tcond"] = chunked(ip_kw["timestep_cond"])
+                        chunk_args["tcond"] = mb_chunk(ip_kw["timestep_cond"])
 
                     def one_chunk(c):
                         a = (
@@ -481,9 +471,7 @@ class StableDiffusionEngine:
                             tome=tome, **kw
                         )
 
-                    noise_pred = jax.lax.map(one_chunk, chunk_args).reshape(
-                        (MB,) + lat_in.shape[1:]
-                    )
+                    noise_pred = mb_merge(jax.lax.map(one_chunk, chunk_args))
                     new_cache = None
                 elif cfg_prefix and do_cfg:
                     noise_pred = unet.apply({"params": unet_params}, lat_in, tb, embeds,
