@@ -71,12 +71,24 @@ class InferenceServer:
     scheduler) behind a thread-safe ``submit`` -> Future API."""
 
     def __init__(self, pipe, max_batch: int = 8, max_wait_ms: float = 25.0,
-                 max_pending: int = 256, pipeline_depth: int = 2):
+                 max_pending: int = 256, pipeline_depth: int = 2,
+                 readback_dtype: str = "uint8"):
         self.pipe = pipe
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.max_pending = int(max_pending)
         self.pipeline_depth = max(1, int(pipeline_depth))
+        if readback_dtype not in ("uint8", "float32"):
+            raise ValueError(
+                f"readback_dtype must be 'uint8' or 'float32', got {readback_dtype!r}")
+        # 'uint8' (default): quantize images on device BEFORE the D2H
+        # transfer.  The readback is the measured serving bottleneck (~1.0 s
+        # of a 3.8 s batch-8 cycle for 25 MB of float32 over the axon tunnel,
+        # docs/PERF.md serving notes), callers ultimately want uint8 pixels
+        # (the HTTP layer encodes PNG), and the device-side round uses the
+        # same formula as data/imageio.py::encode_png_bytes — the delivered
+        # PNG bytes are identical to the float32 path's.
+        self.readback_dtype = readback_dtype
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._backlog: "collections.deque[_Pending]" = collections.deque()
         self._counter = 0
@@ -283,9 +295,19 @@ class InferenceServer:
                 negative_prompt=negatives,
                 sample_indices=indices,
                 key=jax.random.PRNGKey(0),
-                **(dict(output_type="device") if pipelined else {}),
+                output_type="device",
                 **size_kw,
             )
+            if self.readback_dtype == "uint8" and isinstance(images, jax.Array):
+                import jax.numpy as jnp
+
+                # Same round as encode_png_bytes (clip(x*255+0.5) truncate),
+                # run on device so the D2H transfer is 4x smaller.  Non-JAX
+                # outputs (mock pipelines in tests) quantize on the host in
+                # _finalize instead — the delivered dtype is uint8 either way.
+                images = jnp.clip(
+                    images.astype(jnp.float32) * 255.0 + 0.5, 0.0, 255.0
+                ).astype(jnp.uint8)
         except Exception as e:  # deliver the failure to every caller
             with self._counter_lock:
                 self.stats["errors"] += len(batch)
@@ -334,6 +356,12 @@ class InferenceServer:
 
     def _finalize(self, batch: List[_Pending], n: int, images: np.ndarray,
                   exec_time: float, nfe: int, t0: float) -> None:
+        if self.readback_dtype == "uint8" and images.dtype != np.uint8:
+            # Host fallback for pipelines that return non-JAX arrays (the
+            # device path already quantized before the D2H transfer).
+            images = np.clip(
+                images.astype(np.float32) * 255.0 + 0.5, 0.0, 255.0
+            ).astype(np.uint8)
         wall = time.perf_counter() - t0
         with self._counter_lock:
             self.stats["requests"] += len(batch)

@@ -70,6 +70,32 @@ def test_rng_independent_of_batch_composition(server):
     np.testing.assert_allclose(solo["image"], shared["image"], atol=1e-5)
 
 
+def test_uint8_readback_matches_float_path(pipe):
+    """Default readback is uint8 quantized ON DEVICE (4x smaller D2H — the
+    measured serving bottleneck, docs/PERF.md) using encode_png_bytes'
+    round formula, so the delivered PNG is byte-identical to the float32
+    readback path's."""
+    from sonicdiffusionbayeslab_tpu.data.imageio import encode_png_bytes
+
+    req = GenerateRequest("a cat", num_inference_steps=3, seed=9)
+    s8 = InferenceServer(pipe, max_batch=2, max_wait_ms=50.0)
+    try:
+        out8 = s8.generate(req, timeout=300)
+    finally:
+        s8.shutdown()
+    sf = InferenceServer(pipe, max_batch=2, max_wait_ms=50.0,
+                         readback_dtype="float32")
+    try:
+        outf = sf.generate(req, timeout=300)
+    finally:
+        sf.shutdown()
+    assert out8["image"].dtype == np.uint8
+    assert outf["image"].dtype == np.float32
+    assert encode_png_bytes(out8["image"]) == encode_png_bytes(outf["image"])
+    with pytest.raises(ValueError, match="readback_dtype"):
+        InferenceServer(pipe, readback_dtype="bf16")
+
+
 def test_mixed_signatures_split_batches(server):
     """Different step counts cannot share a compiled program — the batcher
     must split them, and every request still completes."""

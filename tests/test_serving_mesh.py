@@ -18,7 +18,10 @@ def test_serving_over_data_parallel_mesh():
     kw = dict(pretrained_model="x", tiny=True, image_size=64, dtype="float32")
     meshy = models_registry["stable_diffusion_model"](**kw, mesh_data=8)
     meshy.scheduler = DPMSolverScheduler(solver_order=2)
-    srv = InferenceServer(meshy, max_batch=8, max_wait_ms=150.0)
+    # float32 readback: this test compares against the raw pipeline's float
+    # images (the uint8 default is exercised in test_serving.py).
+    srv = InferenceServer(meshy, max_batch=8, max_wait_ms=150.0,
+                          readback_dtype="float32")
     try:
         futs = [
             srv.submit(GenerateRequest(f"prompt {i}", num_inference_steps=3, seed=100 + i))
