@@ -207,6 +207,9 @@ class StableDiffusionModel:
         # None falls back to the pipeline-level hook self.tome_ratio
         unet_microbatch: Optional[int] = None,  # chunked UNet inside the scan
         # (exact; the batch-32 fix); None falls back to self.unet_microbatch
+        time_loop: bool = True,  # False: skip the loop-timing hard sync so
+        # the whole batch (denoise + decode + quantize) dispatches
+        # asynchronously; execution_time comes back -1.0 (serving path)
         **plan_kw,
     ):
         """Returns (images [B,H,W,3] in [0,1], execution_time, x0_images)."""
@@ -297,6 +300,7 @@ class StableDiffusionModel:
             ip_adapter=ip_arg,
             tome=self.tome_ratio if tome_ratio is None else tome_ratio,
             microbatch=self.unet_microbatch if unet_microbatch is None else unet_microbatch,
+            time_loop=time_loop,
             **self._extra_sample_kwargs(len(prompt), lat_hw),
         )
         if output_type == "device":
@@ -312,6 +316,29 @@ class StableDiffusionModel:
         return images, out.execution_time, x0
 
     def _encode(self, prompts: Sequence[str]) -> jax.Array:
+        # Uniform-batch memo: serving re-encodes the all-"" negative batch
+        # (and often a repeated prompt) every call; identical strings give
+        # identical rows, so cache the encoded states keyed on
+        # (prompt, batch size).  Tiny (4 entries x ~1 MB device memory),
+        # invalidated implicitly by params identity.
+        memo_key = None
+        if prompts and all(p == prompts[0] for p in prompts):
+            cache = getattr(self, "_encode_memo", None)
+            if cache is None or cache[0] is not self.params:
+                cache = (self.params, {})
+                self._encode_memo = cache
+            memo_key = (prompts[0], len(prompts))
+            hit = cache[1].get(memo_key)
+            if hit is not None:
+                return hit
+        states = self._encode_uncached(prompts)
+        if memo_key is not None:
+            if len(self._encode_memo[1]) >= 4:
+                self._encode_memo[1].pop(next(iter(self._encode_memo[1])))
+            self._encode_memo[1][memo_key] = states
+        return states
+
+    def _encode_uncached(self, prompts: Sequence[str]) -> jax.Array:
         if not getattr(self, "prompt_weighting", False):
             ids = self.tokenizer(list(prompts))
             return self.engine.encode_prompts(self.params, ids)

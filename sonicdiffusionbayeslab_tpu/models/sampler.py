@@ -589,6 +589,15 @@ class StableDiffusionEngine:
         # sequential chunks inside the scan — the batch-32 protocol fix
         # (docs/PERF.md).  EXACT math, peak memory / k, zero recompute.
         microbatch: Optional[int] = None,
+        # False: skip the denoise-loop hard sync (block + one-element host
+        # read).  The reference timing contract needs the sync; a serving
+        # caller does not — it serializes a full host<->device round trip
+        # between the scan and the VAE decode dispatch, stalling the
+        # worker thread for the whole denoise instead of letting decode +
+        # quantize + the NEXT batch's dispatch queue asynchronously
+        # (serving/batcher.py pipeline_depth).  execution_time is then
+        # reported as -1.0 ("not timed").
+        time_loop: bool = True,
     ) -> SampleOutput:
         """Generate images for one batch. Returns reference-contract output:
         (images, execution_time of the denoise loop only, optional x0 decodes)
@@ -785,12 +794,15 @@ class StableDiffusionEngine:
             **ip_args,
             **tcond_args,
         )
-        latents = jax.block_until_ready(latents)
-        # On async remote backends (axon tunnel) block_until_ready can return
-        # before execution completes; a one-element host read is the only
-        # honest sync, so the timed region ends with one.
-        _ = jax.device_get(latents[(0,) * latents.ndim])
-        execution_time = time.perf_counter() - t0
+        if time_loop:
+            latents = jax.block_until_ready(latents)
+            # On async remote backends (axon tunnel) block_until_ready can
+            # return before execution completes; a one-element host read is
+            # the only honest sync, so the timed region ends with one.
+            _ = jax.device_get(latents[(0,) * latents.ndim])
+            execution_time = time.perf_counter() - t0
+        else:
+            execution_time = -1.0  # not timed: async dispatch path
 
         if os.environ.get("SDBL_CHECK_NANS"):
             # Sanitizer mode (SURVEY §5): fail loudly on non-finite latents

@@ -288,6 +288,13 @@ class InferenceServer:
         pipelined = self._finisher is not None and self._finisher.is_alive()
         t0 = time.perf_counter()
         try:
+            # time_loop=False: skip the loop-timing hard sync inside the
+            # engine (a serialized host<->device round trip that stalls
+            # this worker for the whole denoise).  The batch's denoise +
+            # decode + quantize all dispatch asynchronously; the finisher
+            # thread blocks on the readback while we dispatch the next
+            # batch.  Per-request execution_time becomes the batch wall
+            # (dispatch -> host pixels), the honest serving figure.
             images, exec_time, _ = self.pipe(
                 prompts,
                 num_inference_steps=reqs[0].num_inference_steps,
@@ -296,6 +303,7 @@ class InferenceServer:
                 sample_indices=indices,
                 key=jax.random.PRNGKey(0),
                 output_type="device",
+                time_loop=False,
                 **size_kw,
             )
             if self.readback_dtype == "uint8" and isinstance(images, jax.Array):
@@ -363,6 +371,11 @@ class InferenceServer:
                 images.astype(np.float32) * 255.0 + 0.5, 0.0, 255.0
             ).astype(np.uint8)
         wall = time.perf_counter() - t0
+        if not isinstance(exec_time, (int, float)) or exec_time < 0:
+            # time_loop=False path: the engine skipped loop timing (no
+            # serialized sync); report the batch wall — dispatch to host
+            # pixels — which is the honest end-to-end serving figure.
+            exec_time = wall
         with self._counter_lock:
             self.stats["requests"] += len(batch)
             self.stats["images"] += len(batch)

@@ -143,6 +143,26 @@ def test_sample_end_to_end(engine, params):
     np.testing.assert_array_equal(np.asarray(out.images), np.asarray(out2.images))
 
 
+def test_sample_time_loop_false_async_path(engine, params):
+    """time_loop=False (serving path) skips the loop-timing hard sync:
+    execution_time comes back as the -1.0 sentinel and the images are
+    bit-identical to the timed path."""
+    tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)
+    plan = DPMSolverScheduler(solver_order=2).build_plan(3)
+    embeds = engine.encode_prompts(params, tok(["a cat", "a dog"]))
+    neg = engine.encode_prompts(params, tok(["", ""]))
+    key = jax.random.PRNGKey(7)
+    timed = engine.sample(params, plan, embeds, neg, key,
+                          guidance_scale=7.5, latent_hw=(8, 8))
+    untimed = engine.sample(params, plan, embeds, neg, key,
+                            guidance_scale=7.5, latent_hw=(8, 8),
+                            time_loop=False)
+    assert timed.execution_time > 0
+    assert untimed.execution_time == -1.0
+    np.testing.assert_array_equal(np.asarray(timed.images),
+                                  np.asarray(untimed.images))
+
+
 def test_sample_batch_invariant_latents(engine, params):
     """Sample i's result depends only on its global index, not batch layout."""
     tok = HashTokenizer(vocab_size=engine.text_config.vocab_size)

@@ -42,6 +42,29 @@ def test_single_request(server):
     assert out["nfe"] == 3
 
 
+def test_async_dispatch_reports_batch_wall(server):
+    """The serving path runs the engine with time_loop=False (no serialized
+    loop-timing sync); the per-request execution_time must come back as the
+    positive batch wall, never the -1.0 'not timed' sentinel."""
+    out = server.generate(GenerateRequest("a dog", num_inference_steps=3), timeout=300)
+    assert out["execution_time"] > 0
+
+
+def test_encode_memo_uniform_batches(pipe):
+    """Uniform prompt batches (the all-'' negative every serving batch) are
+    encoded once and memoized; mixed batches bypass the memo."""
+    e1 = pipe._encode(["", ""])
+    e2 = pipe._encode(["", ""])
+    assert e2 is e1  # memo hit
+    e3 = pipe._encode(["", "", ""])  # different batch size -> distinct entry
+    assert e3 is not e1 and e3.shape[0] == 3
+    m1 = pipe._encode(["a cat", "a dog"])
+    m2 = pipe._encode(["a cat", "a dog"])
+    assert m1 is not m2  # mixed batch: uncached
+    import numpy as _np
+    _np.testing.assert_array_equal(_np.asarray(e1), _np.asarray(pipe._encode_uncached(["", ""])))
+
+
 def test_concurrent_requests_coalesce(server):
     """4 concurrent same-signature requests ride ONE device batch."""
     futs = [
