@@ -98,6 +98,27 @@ class UniPCMethod(BaseMethod):
             }
 
 
+@methods_registry.add_to_registry("flow_euler")
+class FlowEulerMethod(BaseMethod):
+    """Rectified-flow Euler step sweep (beyond-reference; SD3-class
+    flow-matching families, schedulers/flow.py).  Same sweep shape as
+    dpm_solver so NFE/quality columns are directly comparable.  ``shift``
+    is the resolution shift of the sigma grid (3.0 = SD3-medium)."""
+
+    def setup_scheduler(self) -> None:
+        self.model.scheduler = self.build_scheduler(
+            self.config.scheduler.get("scheduler_name", "flow_match_euler_scheduler"),
+            shift=float(self.params.get("shift", 3.0)),
+        )
+
+    def grid(self) -> Iterable[dict]:
+        for steps in _sweep(self.params.get("num_inference_steps", [28])):
+            yield {
+                "label": f"steps_{steps}",
+                "call_kw": {"num_inference_steps": int(steps), "use_x0": True},
+            }
+
+
 @methods_registry.add_to_registry("deis")
 class DEISMethod(BaseMethod):
     """DEIS-logrho step sweep (beyond-reference sampler; schedulers/deis.py).

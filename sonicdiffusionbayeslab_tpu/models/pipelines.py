@@ -502,6 +502,77 @@ class StableDiffusionXLModel(StableDiffusionModel):
         return {"added_cond": added}
 
 
+@models_registry.add_to_registry("stable_diffusion_3_model")
+class StableDiffusion3Model(StableDiffusionXLModel):
+    """SD3-class rectified-flow text->image pipeline (beyond-reference
+    model family; models/mmdit.py + models/sd3.py).
+
+    The denoiser is the MMDiT velocity transformer sampled with
+    ``flow_match_euler_scheduler`` plans; everything else — the scan
+    engine, CFG, x0 capture, micro-batching, mesh sharding, img2img
+    seeding — is the shared machinery.  Text conditioning is the SD3
+    CLIP-only mode: dual-tower penultimate states zero-padded to the T5
+    width plus both projected pooled embeddings (models/sd3.py).
+
+    Not available for this family (loud errors, not silent no-ops):
+    DeepCache (UNet branch structure), ControlNet, IP-Adapter, ToMe,
+    ``(word:1.3)`` prompt weighting.
+    """
+
+    def __init__(self, pretrained_model: str = "stabilityai/stable-diffusion-3-medium",
+                 image_size: int = 1024, **kw):
+        if kw.get("prompt_weighting"):
+            raise NotImplementedError(
+                "prompt weighting is not wired for SD3's padded dual-tower "
+                "context (weights would need to apply before the T5-width pad)")
+        if kw.get("ip_adapter"):
+            raise NotImplementedError("IP-Adapter is a UNet-family feature")
+        super().__init__(pretrained_model=pretrained_model,
+                         image_size=image_size, **kw)
+
+    def _make_engine(self, dt, tiny: bool):
+        from sonicdiffusionbayeslab_tpu.models.mmdit import MMDiTConfig
+        from sonicdiffusionbayeslab_tpu.models.sampler import SDXLTextConfigs
+        from sonicdiffusionbayeslab_tpu.models.sd3 import SD3Engine
+        from sonicdiffusionbayeslab_tpu.models.vae import VAEConfig as _V
+
+        if tiny:
+            return SD3Engine(MMDiTConfig.tiny(), _V.tiny16(),
+                             SDXLTextConfigs.tiny(), dtype=dt, param_dtype=dt)
+        return SD3Engine(dtype=dt, param_dtype=dt)
+
+    def _load_params(self, pretrained_model: str, seed: int) -> Dict[str, Any]:
+        p = Path(pretrained_model)
+        if p.exists():
+            flax_ckpt = p / "flax_params"
+            if flax_ckpt.exists():
+                from sonicdiffusionbayeslab_tpu.models.weights import load_params
+
+                return load_params(flax_ckpt)
+            from sonicdiffusionbayeslab_tpu.models.weights import load_sd3_checkpoint
+
+            return load_sd3_checkpoint(p, self.engine)
+        return self.engine.init_params(seed=seed, latent_hw=self.latent_hw)
+
+    def _encode(self, prompts: Sequence[str]) -> jax.Array:
+        ids1 = self.tokenizer(list(prompts))
+        ids2 = self.tokenizer2(list(prompts))
+        ctx, pooled = self.engine.encode_prompts_sd3(self.params, ids1, ids2)
+        self._pooled_queue.append(pooled)
+        return ctx
+
+    def _extra_sample_kwargs(self, batch: int, lat_hw) -> Dict[str, Any]:
+        queue, self._pooled_queue = self._pooled_queue, []
+        # time_ids is engine plumbing only (the microbatch chunker expects
+        # the key); MMDiT carries no crop/size micro-conditioning and
+        # ignores it.
+        added = {"text_embeds": queue[0],
+                 "time_ids": jnp.zeros((batch, 6), jnp.float32)}
+        if len(queue) > 1:
+            added["negative_text_embeds"] = queue[1]
+        return {"added_cond": added}
+
+
 @models_registry.add_to_registry("stable_diffusion_model_two_schedulers")
 class StableDiffusionModelTwoSchedulers(StableDiffusionModel):
     """Scheduler-switching pipeline (reference models.py:338-730)."""

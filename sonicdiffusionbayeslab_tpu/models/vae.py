@@ -34,10 +34,22 @@ class VAEConfig:
     block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
     layers_per_block: int = 2
     scaling_factor: float = 0.18215
+    # SD3-family KL-VAE: latents are (z - shift) * scale at encode and
+    # z / scale + shift at decode (diffusers AutoencoderKL.config.shift_factor).
+    shift_factor: float = 0.0
+    # SD3 drops the 1x1 (post_)quant convs (use_quant_conv=False).
+    use_quant_conv: bool = True
 
     @classmethod
     def tiny(cls) -> "VAEConfig":
         return cls(block_out_channels=(16, 32), layers_per_block=1)
+
+    @classmethod
+    def tiny16(cls) -> "VAEConfig":
+        """Tiny geometry with the SD3 16-channel latent contract."""
+        return cls(block_out_channels=(16, 32), layers_per_block=1,
+                   latent_channels=16, scaling_factor=1.5305,
+                   shift_factor=0.0609, use_quant_conv=False)
 
     @classmethod
     def sd15(cls) -> "VAEConfig":
@@ -48,6 +60,13 @@ class VAEConfig:
         """Same geometry as SD's KL-VAE; SDXL retrained it (scaling factor
         0.13025, stable-diffusion-xl-base-1.0 vae/config.json)."""
         return cls(scaling_factor=0.13025)
+
+    @classmethod
+    def sd3(cls) -> "VAEConfig":
+        """stable-diffusion-3-medium vae/config.json: 16-channel latents,
+        scaling 1.5305, shift 0.0609, no (post_)quant convs."""
+        return cls(latent_channels=16, scaling_factor=1.5305,
+                   shift_factor=0.0609, use_quant_conv=False)
 
 
 class Decoder(nn.Module):
@@ -116,24 +135,31 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.decoder = Decoder(self.config, self.dtype, self.param_dtype)
         self.encoder = Encoder(self.config, self.dtype, self.param_dtype)
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1), **kw)
-        self.quant_conv = nn.Conv(self.config.latent_channels * 2, (1, 1), **kw)
+        if self.config.use_quant_conv:
+            kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+            self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1), **kw)
+            self.quant_conv = nn.Conv(self.config.latent_channels * 2, (1, 1), **kw)
 
     def decode(self, z: jax.Array) -> jax.Array:
-        """z: scaled latents [B, h, w, 4] -> image [B, 8h, 8w, 3] in [-1, 1]."""
-        z = z / self.config.scaling_factor
-        return self.decoder(self.post_quant_conv(z.astype(self.dtype)))
+        """z: scaled latents [B, h, w, C] -> image [B, 8h, 8w, 3] in [-1, 1]."""
+        z = z / self.config.scaling_factor + self.config.shift_factor
+        z = z.astype(self.dtype)
+        if self.config.use_quant_conv:
+            z = self.post_quant_conv(z)
+        return self.decoder(z)
 
     def encode(self, x: jax.Array):
-        moments = self.quant_conv(self.encoder(x).astype(self.dtype)).astype(jnp.float32)
+        h = self.encoder(x).astype(self.dtype)
+        if self.config.use_quant_conv:
+            h = self.quant_conv(h)
+        moments = h.astype(jnp.float32)
         mean, logvar = jnp.split(moments, 2, axis=-1)
         return mean, jnp.clip(logvar, -30.0, 20.0)
 
     def encode_sample(self, x: jax.Array, rng: jax.Array) -> jax.Array:
         mean, logvar = self.encode(x)
         z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape)
-        return z * self.config.scaling_factor
+        return (z - self.config.shift_factor) * self.config.scaling_factor
 
     def __call__(self, z: jax.Array) -> jax.Array:  # default path = decode
         return self.decode(z)

@@ -463,6 +463,100 @@ def load_sd_checkpoint(snapshot_dir: str | Path, engine, dtype=np.float32) -> di
     return out
 
 
+def mmdit_name_map(cfg) -> Dict[str, Tuple[str, Transform, Transform]]:
+    """{flax_path: (diffusers SD3Transformer2DModel name, fwd, inv)}.
+
+    The patch embed is diffusers' Conv2d(p, stride=p) folded to a matmul:
+    weight [O, C, ph, pw] -> [ph*pw*C, O] with (ph, pw, c) row order —
+    exactly the patchify order models/mmdit.py produces.  The fixed sincos
+    ``pos_embed.pos_embed`` buffer is NOT mapped: mmdit.py recomputes the
+    identical table (same meshgrid/crop sequence)."""
+    m: Dict[str, Tuple[str, Transform, Transform]] = {}
+
+    def dense(dst, src):
+        m[f"{dst}/kernel"] = (f"{src}.weight", _lin, _lin)
+        m[f"{dst}/bias"] = (f"{src}.bias", _id, _id)
+
+    def patch(w):  # [O, C, ph, pw] -> [ph*pw*C, O]
+        w = np.asarray(w)
+        return w.transpose(2, 3, 1, 0).reshape(-1, w.shape[0])
+
+    def patch_inv(w):
+        o = w.shape[-1]
+        p = cfg.patch_size
+        return w.reshape(p, p, -1, o).transpose(3, 2, 0, 1)
+
+    m["patch_proj/kernel"] = ("pos_embed.proj.weight", patch, patch_inv)
+    m["patch_proj/bias"] = ("pos_embed.proj.bias", _id, _id)
+    dense("timestep_embedder/fc1", "time_text_embed.timestep_embedder.linear_1")
+    dense("timestep_embedder/fc2", "time_text_embed.timestep_embedder.linear_2")
+    dense("text_embedder/fc1", "time_text_embed.text_embedder.linear_1")
+    dense("text_embedder/fc2", "time_text_embed.text_embedder.linear_2")
+    dense("context_embedder", "context_embedder")
+    for i in range(cfg.depth):
+        d, s = f"blocks_{i}", f"transformer_blocks.{i}"
+        dense(f"{d}/norm1/linear", f"{s}.norm1.linear")
+        dense(f"{d}/norm1_context/linear", f"{s}.norm1_context.linear")
+        for proj in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj", "add_v_proj"):
+            dense(f"{d}/{proj}", f"{s}.attn.{proj}")
+        dense(f"{d}/to_out", f"{s}.attn.to_out.0")
+        if cfg.qk_norm:
+            for ours, theirs in (("norm_q", "norm_q"), ("norm_k", "norm_k"),
+                                 ("norm_added_q", "norm_added_q"),
+                                 ("norm_added_k", "norm_added_k")):
+                m[f"{d}/{ours}/scale"] = (f"{s}.attn.{theirs}.weight", _id, _id)
+        dense(f"{d}/ff/proj_in", f"{s}.ff.net.0.proj")
+        dense(f"{d}/ff/proj_out", f"{s}.ff.net.2")
+        if i < cfg.depth - 1:  # final block: context stream is k/v-only
+            dense(f"{d}/to_add_out", f"{s}.attn.to_add_out")
+            dense(f"{d}/ff_context/proj_in", f"{s}.ff_context.net.0.proj")
+            dense(f"{d}/ff_context/proj_out", f"{s}.ff_context.net.2")
+    dense("norm_out/linear", "norm_out.linear")
+    dense("proj_out", "proj_out")
+    return m
+
+
+def load_sd3_checkpoint(snapshot_dir: str | Path, engine, dtype=np.float32) -> dict:
+    """diffusers SD3 snapshot dir -> {unet, vae, text, text2, text_proj,
+    text2_proj} tree for :class:`~.sd3.SD3Engine` (transformer/ holds the
+    MMDiT; both text encoders are CLIPTextModelWithProjection; T5
+    (text_encoder_3) is intentionally not loaded — the engine runs the
+    CLIP-only conditioning mode)."""
+    snapshot_dir = Path(snapshot_dir)
+    ref = engine.init_params(seed=0)
+
+    def find(sub):
+        d = snapshot_dir / sub
+        for name in ("diffusion_pytorch_model.bin", "pytorch_model.bin",
+                     "diffusion_pytorch_model.safetensors", "model.safetensors"):
+            if (d / name).exists():
+                return load_torch_state_dict(d / name)
+        raise FileNotFoundError(f"no checkpoint under {d}")
+
+    sd1, sd2 = find("text_encoder"), find("text_encoder_2")
+    return {
+        "unet": convert(find("transformer"), mmdit_name_map(engine.unet_config),
+                        flatten(ref["unet"]).keys(), dtype),
+        "vae": convert(
+            find("vae"),
+            vae_name_map(len(engine.vae_config.block_out_channels),
+                         engine.vae_config.layers_per_block),
+            flatten(ref["vae"]).keys(),
+            dtype,
+        ),
+        "text": convert(sd1, clip_text_name_map(engine.text_config.num_layers),
+                        flatten(ref["text"]).keys(), dtype),
+        "text2": convert(sd2, clip_text_name_map(engine.text2_config.num_layers),
+                         flatten(ref["text2"]).keys(), dtype),
+        "text_proj": {
+            "kernel": _lin(np.asarray(sd1["text_projection.weight"], np.float32)).astype(dtype)
+        },
+        "text2_proj": {
+            "kernel": _lin(np.asarray(sd2["text_projection.weight"], np.float32)).astype(dtype)
+        },
+    }
+
+
 def load_sdxl_checkpoint(snapshot_dir: str | Path, engine, dtype=np.float32) -> dict:
     """diffusers SDXL snapshot dir -> {unet, vae, text, text2, text2_proj}
     param tree, shaped/validated against ``engine``'s random-init tree.

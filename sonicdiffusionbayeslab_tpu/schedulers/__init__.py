@@ -31,6 +31,7 @@ from sonicdiffusionbayeslab_tpu.schedulers.plans import (  # noqa: F401
     two_scheduler_plan,
 )
 from sonicdiffusionbayeslab_tpu.schedulers.euler import euler_rows, heun_rows
+from sonicdiffusionbayeslab_tpu.schedulers.flow import flow_euler_rows, flow_sigmas
 from sonicdiffusionbayeslab_tpu.schedulers.pndm import pndm_rows
 from sonicdiffusionbayeslab_tpu.schedulers.unipc import unipc_rows
 from sonicdiffusionbayeslab_tpu.schedulers.schedule import (
@@ -52,6 +53,7 @@ __all__ = [
     "UniPCScheduler",
     "EulerScheduler",
     "EulerAncestralScheduler",
+    "FlowMatchEulerScheduler",
     "HeunScheduler",
     "two_scheduler_plan",
     "interleave_plan",
@@ -555,6 +557,52 @@ class HeunScheduler(EulerScheduler):
             s.extend([s2] if s2 == 0.0 else [s2, s2])
         s = np.asarray(s, np.float32)
         return np.ones_like(s), s
+
+
+@schedulers_registry.add_to_registry("flow_match_euler_scheduler")
+class FlowMatchEulerScheduler(_PlanBuilder):
+    """Rectified-flow Euler (schedulers/flow.py) — the sampler for
+    SD3-class flow-matching transformers (models/mmdit.py).  Not a VP
+    scheduler: the carried sample lives on the linear path
+    ``x = (1-sigma) x0 + sigma eps`` and the model predicts velocity.
+
+    ``shift`` is the resolution shift of the sigma grid (Esser et al.
+    2024; 3.0 = SD3-medium's shipped value)."""
+
+    NAME = "flow_euler"
+
+    def __init__(self, schedule_config=None, prediction_type=None,
+                 shift: float = 3.0):
+        cfg = dict(schedule_config or {})
+        self.shift = float(cfg.pop("shift", shift))
+        super().__init__(cfg, prediction_type)
+
+    def _sigmas(self, num_steps: int) -> np.ndarray:
+        return flow_sigmas(num_steps, shift=self.shift,
+                           num_train_timesteps=self.config.num_train_timesteps)
+
+    def build_plan(self, num_steps: int) -> SamplePlan:
+        return self.tail_plan(num_steps, 0)
+
+    def tail_plan(self, num_steps: int, start_index: int) -> SamplePlan:
+        sig = self._sigmas(num_steps)
+        rows = flow_euler_rows(
+            sig[start_index:],
+            num_train_timesteps=self.config.num_train_timesteps,
+        )
+        sfx = f"[{start_index}:]" if start_index else ""
+        return stack_rows(
+            rows, name=f"{self.NAME}(n={num_steps},shift={self.shift:g}){sfx}",
+        )
+
+    def noised_latents(self, z, noise, num_steps: int, start_index: int):
+        """Flow-path seeding (img2img): x = (1-sigma) z + sigma noise."""
+        s = float(self._sigmas(num_steps)[start_index])
+        return (1.0 - s) * z + s * noise
+
+    def blend_schedule(self, num_steps: int, start_index: int = 0):
+        s = np.asarray(self._sigmas(num_steps)[start_index + 1:], np.float32)
+        return (1.0 - s), s
 
 
 @schedulers_registry.add_to_registry("pndm_scheduler")
