@@ -510,9 +510,12 @@ class StableDiffusion3Model(StableDiffusionXLModel):
     The denoiser is the MMDiT velocity transformer sampled with
     ``flow_match_euler_scheduler`` plans; everything else — the scan
     engine, CFG, x0 capture, micro-batching, mesh sharding, img2img
-    seeding — is the shared machinery.  Text conditioning is the SD3
-    CLIP-only mode: dual-tower penultimate states zero-padded to the T5
-    width plus both projected pooled embeddings (models/sd3.py).
+    seeding — is the shared machinery.  Text conditioning defaults to the
+    SD3 CLIP-only (drop-T5) mode: dual-tower penultimate states zero-padded
+    to the T5 width plus both projected pooled embeddings (models/sd3.py).
+    ``use_t5: true`` enables the full triple-tower conditioning — T5-XXL
+    hidden states concatenated after the CLIP features on the sequence axis
+    (models/t5.py), loaded from a snapshot's text_encoder_3/tokenizer_3.
 
     Not available for this family (loud errors, not silent no-ops):
     DeepCache (UNet branch structure), ControlNet, IP-Adapter, ToMe,
@@ -520,13 +523,14 @@ class StableDiffusion3Model(StableDiffusionXLModel):
     """
 
     def __init__(self, pretrained_model: str = "stabilityai/stable-diffusion-3-medium",
-                 image_size: int = 1024, **kw):
+                 image_size: int = 1024, use_t5: bool = False, **kw):
         if kw.get("prompt_weighting"):
             raise NotImplementedError(
                 "prompt weighting is not wired for SD3's padded dual-tower "
                 "context (weights would need to apply before the T5-width pad)")
         if kw.get("ip_adapter"):
             raise NotImplementedError("IP-Adapter is a UNet-family feature")
+        self._use_t5 = bool(use_t5)  # read by _make_engine (runs in super())
         super().__init__(pretrained_model=pretrained_model,
                          image_size=image_size, **kw)
 
@@ -534,12 +538,29 @@ class StableDiffusion3Model(StableDiffusionXLModel):
         from sonicdiffusionbayeslab_tpu.models.mmdit import MMDiTConfig
         from sonicdiffusionbayeslab_tpu.models.sampler import SDXLTextConfigs
         from sonicdiffusionbayeslab_tpu.models.sd3 import SD3Engine
+        from sonicdiffusionbayeslab_tpu.models.t5 import T5Config
         from sonicdiffusionbayeslab_tpu.models.vae import VAEConfig as _V
 
         if tiny:
             return SD3Engine(MMDiTConfig.tiny(), _V.tiny16(),
-                             SDXLTextConfigs.tiny(), dtype=dt, param_dtype=dt)
-        return SD3Engine(dtype=dt, param_dtype=dt)
+                             SDXLTextConfigs.tiny(),
+                             t5_config=T5Config.tiny() if self._use_t5 else None,
+                             dtype=dt, param_dtype=dt)
+        return SD3Engine(use_t5=self._use_t5, dtype=dt, param_dtype=dt)
+
+    def _post_init(self) -> None:
+        super()._post_init()
+        self.tokenizer3 = None
+        if self._use_t5:
+            from sonicdiffusionbayeslab_tpu.models.tokenizer import load_t5_tokenizer
+
+            p = Path(self.pretrained_model)
+            tok3 = p / "tokenizer_3" if p.exists() else None
+            self.tokenizer3 = load_t5_tokenizer(
+                str(tok3) if tok3 else None,
+                self.engine.t5_config.vocab_size,
+                self.engine.t5_config.max_length,
+            )
 
     def _load_params(self, pretrained_model: str, seed: int) -> Dict[str, Any]:
         p = Path(pretrained_model)
@@ -557,7 +578,8 @@ class StableDiffusion3Model(StableDiffusionXLModel):
     def _encode(self, prompts: Sequence[str]) -> jax.Array:
         ids1 = self.tokenizer(list(prompts))
         ids2 = self.tokenizer2(list(prompts))
-        ctx, pooled = self.engine.encode_prompts_sd3(self.params, ids1, ids2)
+        ids3 = self.tokenizer3(list(prompts)) if self.tokenizer3 is not None else None
+        ctx, pooled = self.engine.encode_prompts_sd3(self.params, ids1, ids2, ids3)
         self._pooled_queue.append(pooled)
         return ctx
 

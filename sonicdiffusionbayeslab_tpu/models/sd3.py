@@ -48,6 +48,8 @@ class SD3Engine(StableDiffusionEngine):
         mmdit_config: MMDiTConfig = None,
         vae_config: VAEConfig = None,
         text_configs: SDXLTextConfigs = None,
+        t5_config=None,
+        use_t5: bool = False,
         dtype=jnp.bfloat16,
         param_dtype=jnp.bfloat16,
     ):
@@ -64,6 +66,19 @@ class SD3Engine(StableDiffusionEngine):
         self.text = CLIPTextModel(self.text_config, dtype=dtype, param_dtype=param_dtype)
         self.text2 = CLIPTextModel(self.text2_config, dtype=dtype, param_dtype=param_dtype)
         self.controlnet = None  # no ControlNet family for MMDiT (yet)
+        # Optional third tower (full SD3 conditioning): T5 hidden states are
+        # concatenated on the SEQUENCE axis after the padded CLIP features
+        # (diffusers encode_prompt).  Off by default — the drop-T5 mode.
+        self.t5 = None
+        if use_t5 or t5_config is not None:
+            from sonicdiffusionbayeslab_tpu.models.t5 import T5Config, T5Encoder
+
+            self.t5_config = t5_config or T5Config.xxl()
+            if self.t5_config.d_model != self.unet_config.joint_attention_dim:
+                raise ValueError(
+                    f"T5 d_model {self.t5_config.d_model} must equal the "
+                    f"MMDiT joint_attention_dim {self.unet_config.joint_attention_dim}")
+            self.t5 = T5Encoder(self.t5_config, dtype=dtype, param_dtype=param_dtype)
 
     # ------------------------------------------------------------- params
     def init_params(self, seed: int = 0, latent_hw: int = 128) -> Dict[str, Any]:
@@ -75,7 +90,7 @@ class SD3Engine(StableDiffusionEngine):
         ids1 = jnp.zeros((1, self.text_config.max_length), jnp.int32)
         ids2 = jnp.zeros((1, self.text2_config.max_length), jnp.int32)
         h1, h2 = self.text_config.hidden_size, self.text2_config.hidden_size
-        return {
+        out = {
             "unet": self.unet.init(k1, lat, jnp.zeros((1,)), ctx, added)["params"],
             "vae": self.vae.init(k2, lat, method=self.vae.init_all)["params"],
             "text": self.text.init(k3, ids1)["params"],
@@ -84,6 +99,10 @@ class SD3Engine(StableDiffusionEngine):
             "text_proj": {"kernel": jax.random.normal(k5, (h1, h1), jnp.float32) * h1**-0.5},
             "text2_proj": {"kernel": jax.random.normal(k6, (h2, h2), jnp.float32) * h2**-0.5},
         }
+        if self.t5 is not None:
+            ids3 = jnp.zeros((1, self.t5_config.max_length), jnp.int32)
+            out["t5"] = self.t5.init(jax.random.fold_in(k1, 3), ids3)["params"]
+        return out
 
     # ------------------------------------------------------------- encode
     @functools.cached_property
@@ -113,8 +132,31 @@ class SD3Engine(StableDiffusionEngine):
 
         return encode
 
-    def encode_prompts_sd3(self, params, ids1: np.ndarray, ids2: np.ndarray):
-        """-> (context [B, T, joint_attention_dim], pooled [B, 2048])."""
+    @functools.cached_property
+    def encode_sd3_t5_fn(self):
+        """Full triple-tower conditioning: [padded CLIP ctx ++ T5 states]
+        on the sequence axis (diffusers encode_prompt token order)."""
+        clip_fn, t5 = self.encode_sd3_fn, self.t5
+
+        @jax.jit
+        def encode(text_p, text2_p, t5_p, proj1, proj2, ids1, ids2, ids3):
+            ctx, pooled = clip_fn(text_p, text2_p, proj1, proj2, ids1, ids2)
+            states = t5.apply({"params": t5_p}, ids3)["last_hidden_state"]
+            return jnp.concatenate([ctx, states], axis=1), pooled
+
+        return encode
+
+    def encode_prompts_sd3(self, params, ids1: np.ndarray, ids2: np.ndarray,
+                           ids3: np.ndarray = None):
+        """-> (context [B, T(+T5), joint_attention_dim], pooled [B, 2048])."""
+        if ids3 is not None:
+            if self.t5 is None:
+                raise ValueError("engine was built without use_t5=True")
+            return self.encode_sd3_t5_fn(
+                params["text"], params["text2"], params["t5"], params["text_proj"],
+                params["text2_proj"], jnp.asarray(ids1), jnp.asarray(ids2),
+                jnp.asarray(ids3),
+            )
         return self.encode_sd3_fn(
             params["text"], params["text2"], params["text_proj"],
             params["text2_proj"], jnp.asarray(ids1), jnp.asarray(ids2),

@@ -144,3 +144,34 @@ def load_tokenizer(local_dir: str | None = None, vocab_size: int = 49408, max_le
         if vocab.exists() and merges.exists():
             return CLIPBPETokenizer(str(vocab), str(merges), max_length)
     return HashTokenizer(vocab_size, max_length)
+
+
+class _T5FastTokenizer:
+    """Thin wrapper over a local ``tokenizer.json`` (HF tokenizers lib —
+    installed; sentencepiece is not, so the slow T5Tokenizer path isn't an
+    option offline).  Pads with id 0 (T5's <pad>) to ``max_length`` like
+    diffusers' padding='max_length' call."""
+
+    def __init__(self, tokenizer_json: str, max_length: int = 256):
+        from tokenizers import Tokenizer
+
+        self._tok = Tokenizer.from_file(tokenizer_json)
+        self.max_length = max_length
+
+    def __call__(self, texts: Sequence[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.max_length), dtype=np.int32)
+        for i, enc in enumerate(self._tok.encode_batch(list(texts))):
+            ids = enc.ids[: self.max_length]
+            out[i, : len(ids)] = ids
+        return out
+
+
+def load_t5_tokenizer(local_dir: str | None = None, vocab_size: int = 32128,
+                      max_length: int = 256):
+    """T5 tokenizer from a snapshot's ``tokenizer_3/tokenizer.json`` if
+    present, else the HashTokenizer offline fallback."""
+    if local_dir:
+        tj = Path(local_dir) / "tokenizer.json"
+        if tj.exists():
+            return _T5FastTokenizer(str(tj), max_length)
+    return HashTokenizer(vocab_size, max_length)

@@ -516,12 +516,37 @@ def mmdit_name_map(cfg) -> Dict[str, Tuple[str, Transform, Transform]]:
     return m
 
 
+def t5_name_map(num_layers: int) -> Dict[str, Tuple[str, Transform, Transform]]:
+    """{flax_path: (HF T5EncoderModel name, fwd, inv)} for models/t5.py.
+
+    The shared relative-position-bias embedding lives in block 0's
+    attention in HF; our module keeps it top-level (one table, every layer
+    reads it — identical semantics)."""
+    m: Dict[str, Tuple[str, Transform, Transform]] = {
+        "token_embedding/embedding": ("shared.weight", _id, _id),
+        "relative_attention_bias": (
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight",
+            _id, _id),
+        "final_ln/scale": ("encoder.final_layer_norm.weight", _id, _id),
+    }
+    for i in range(num_layers):
+        d, s = f"block_{i}", f"encoder.block.{i}"
+        for p in "qkvo":
+            m[f"{d}/attn/{p}/kernel"] = (f"{s}.layer.0.SelfAttention.{p}.weight", _lin, _lin)
+        m[f"{d}/ln1/scale"] = (f"{s}.layer.0.layer_norm.weight", _id, _id)
+        for p in ("wi_0", "wi_1", "wo"):
+            m[f"{d}/{p}/kernel"] = (f"{s}.layer.1.DenseReluDense.{p}.weight", _lin, _lin)
+        m[f"{d}/ln2/scale"] = (f"{s}.layer.1.layer_norm.weight", _id, _id)
+    return m
+
+
 def load_sd3_checkpoint(snapshot_dir: str | Path, engine, dtype=np.float32) -> dict:
     """diffusers SD3 snapshot dir -> {unet, vae, text, text2, text_proj,
     text2_proj} tree for :class:`~.sd3.SD3Engine` (transformer/ holds the
-    MMDiT; both text encoders are CLIPTextModelWithProjection; T5
-    (text_encoder_3) is intentionally not loaded — the engine runs the
-    CLIP-only conditioning mode)."""
+    MMDiT; both text encoders are CLIPTextModelWithProjection).  T5
+    (text_encoder_3) is loaded only when the engine was built with
+    ``use_t5=True`` — the default engine runs the CLIP-only drop-T5
+    conditioning mode and skips the 4.7B tower entirely."""
     snapshot_dir = Path(snapshot_dir)
     ref = engine.init_params(seed=0)
 
@@ -534,7 +559,13 @@ def load_sd3_checkpoint(snapshot_dir: str | Path, engine, dtype=np.float32) -> d
         raise FileNotFoundError(f"no checkpoint under {d}")
 
     sd1, sd2 = find("text_encoder"), find("text_encoder_2")
+    extra = {}
+    if getattr(engine, "t5", None) is not None:
+        extra["t5"] = convert(
+            find("text_encoder_3"), t5_name_map(engine.t5_config.num_layers),
+            flatten(ref["t5"]).keys(), dtype)
     return {
+        **extra,
         "unet": convert(find("transformer"), mmdit_name_map(engine.unet_config),
                         flatten(ref["unet"]).keys(), dtype),
         "vae": convert(

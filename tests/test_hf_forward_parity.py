@@ -264,3 +264,39 @@ def test_image_reward_forward_matches_hf_blip(tmp_path):
         jnp.asarray(mask, jnp.int32),
     ))
     np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+def test_t5_encoder_forward_matches_hf():
+    """SD3's third tower (text_encoder_3): T5-v1.1 encoder semantics —
+    RMSNorm, unscaled attention, shared relative position bias, gated
+    gelu_new FF — via the t5_name_map converter (which also relocates the
+    block-0 bias table to our top-level shared param)."""
+    from transformers import T5Config as HFT5Config
+    from transformers import T5EncoderModel
+
+    from sonicdiffusionbayeslab_tpu.models.t5 import T5Config, T5Encoder
+    from sonicdiffusionbayeslab_tpu.models.weights import t5_name_map
+
+    torch.manual_seed(0)
+    cfg = T5Config.tiny()
+    hf = T5EncoderModel(HFT5Config(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model, d_kv=cfg.d_kv,
+        d_ff=cfg.d_ff, num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+        relative_attention_num_buckets=cfg.relative_attention_num_buckets,
+        relative_attention_max_distance=cfg.relative_attention_max_distance,
+        feed_forward_proj="gated-gelu", dropout_rate=0.0,
+        tie_word_embeddings=False,
+    )).eval()
+
+    ours = T5Encoder(cfg)
+    ref = ours.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, cfg.max_length), jnp.int32))["params"]
+    params = convert(_to_np_sd(hf), t5_name_map(cfg.num_layers),
+                     flatten(ref).keys())
+
+    ids = np.random.default_rng(1).integers(2, cfg.vocab_size, (3, cfg.max_length))
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids)).last_hidden_state.numpy()
+    got = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(ids, jnp.int32))["last_hidden_state"])
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)

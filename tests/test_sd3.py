@@ -391,3 +391,71 @@ def test_sd3_sample_on_mesh(engine, params):
                            mesh=mesh)
     np.testing.assert_allclose(np.asarray(single.images), np.asarray(meshed.images),
                                atol=2e-5)
+
+
+# ------------------------------------------------------- triple-tower (T5)
+
+
+def test_sd3_t5_width_guard():
+    from sonicdiffusionbayeslab_tpu.models.t5 import T5Config
+
+    with pytest.raises(ValueError, match="joint_attention_dim"):
+        SD3Engine(MMDiTConfig.tiny(), VAEConfig.tiny16(), SDXLTextConfigs.tiny(),
+                  t5_config=T5Config(d_model=64), dtype=jnp.float32)
+
+
+def test_sd3_triple_tower_encode_and_sample(engine, params):
+    """Full SD3 conditioning: [padded CLIP ctx ++ T5 states] on the sequence
+    axis; the CLIP prefix must be bit-identical to the drop-T5 engine's
+    context, and the MMDiT must accept the longer sequence end-to-end."""
+    from sonicdiffusionbayeslab_tpu.models.t5 import T5Config
+
+    eng = SD3Engine(MMDiTConfig.tiny(), VAEConfig.tiny16(), SDXLTextConfigs.tiny(),
+                    t5_config=T5Config.tiny(), dtype=jnp.float32,
+                    param_dtype=jnp.float32)
+    assert eng.t5 is not None
+    p3 = eng.init_params(seed=0, latent_hw=8)
+
+    prompts = ["a cat", "a dog"]
+    tok1 = HashTokenizer(eng.text_config.vocab_size, eng.text_config.max_length)
+    tok2 = HashTokenizer(eng.text2_config.vocab_size, eng.text2_config.max_length)
+    tok3 = HashTokenizer(eng.t5_config.vocab_size, eng.t5_config.max_length)
+    ids1, ids2, ids3 = tok1(prompts), tok2(prompts), tok3(prompts)
+
+    ctx, pooled = eng.encode_prompts_sd3(p3, ids1, ids2, ids3)
+    T_clip = eng.text_config.max_length
+    assert ctx.shape == (2, T_clip + eng.t5_config.max_length,
+                         eng.unet_config.joint_attention_dim)
+
+    # the CLIP prefix equals the drop-T5 encode (same params subtree)
+    ctx0, pooled0 = eng.encode_prompts_sd3(p3, ids1, ids2)
+    np.testing.assert_allclose(np.asarray(ctx[:, :T_clip]), np.asarray(ctx0),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pooled), np.asarray(pooled0))
+
+    # drop-T5 engine rejects ids3
+    with pytest.raises(ValueError, match="use_t5"):
+        engine.encode_prompts_sd3(params, ids1, ids2, ids3)
+
+    # e2e sample with the longer joint sequence
+    nctx, npooled = eng.encode_prompts_sd3(p3, tok1(["", ""]), tok2(["", ""]),
+                                           tok3(["", ""]))
+    plan = FlowMatchEulerScheduler(shift=3.0).build_plan(2)
+    added = {"text_embeds": pooled, "negative_text_embeds": npooled,
+             "time_ids": jnp.zeros((2, 6))}
+    out = eng.sample(p3, plan, ctx, nctx, jax.random.PRNGKey(0),
+                     guidance_scale=5.0, latent_hw=(8, 8), added_cond=added)
+    assert out.images.shape == (2, 16, 16, 3)
+
+
+def test_sd3_pipeline_use_t5_e2e():
+    from sonicdiffusionbayeslab_tpu.registry import load_all_plugins, models_registry
+
+    load_all_plugins()
+    pipe = models_registry["stable_diffusion_3_model"](
+        pretrained_model="x", tiny=True, image_size=64, dtype="float32",
+        use_t5=True)
+    assert pipe.engine.t5 is not None and pipe.tokenizer3 is not None
+    pipe.scheduler = FlowMatchEulerScheduler(shift=3.0)
+    imgs, t, _ = pipe(["a cat"], num_inference_steps=2, guidance_scale=5.0)
+    assert imgs.shape == (1, 16, 16, 3)
