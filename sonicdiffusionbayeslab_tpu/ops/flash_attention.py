@@ -184,15 +184,57 @@ def fits_vmem(q: jax.Array, k: jax.Array, budget_bytes: int = 12 << 20) -> bool:
     return blocks + scratch <= budget_bytes
 
 
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, interpret: bool = False) -> jax.Array:
-    """q [B, N, H, D], k/v [B, M, H, D] -> [B, N, H, D].  fp32 softmax."""
-    B, N, H, D = q.shape
-    M = k.shape[1]
-    if k.shape != (B, M, H, D) or v.shape != (B, M, H, D):
-        raise ValueError(f"kv shape mismatch: {q.shape} vs {k.shape}/{v.shape}")
+def _dispatch(q, k, v, interpret: bool) -> jax.Array:
     layout = os.environ.get("SDBL_PALLAS_LAYOUT", "bh").strip().lower()
     if layout == "native":
         return _flash_native(q, k, v, interpret=interpret)
     if layout != "bh":
         raise ValueError(f"unknown SDBL_PALLAS_LAYOUT {layout!r} (bh | native)")
     return _flash_bh(q, k, v, interpret=interpret)
+
+
+# Reverse-mode rule: pallas_call has no built-in VJP, and the tiered backend
+# is the TPU DEFAULT — without this, any jax.grad through an attention that
+# dispatched the kernel (e.g. a training step on hardware) dies with
+# "Linearization failed".  Forward stays the Pallas kernel; the backward is
+# the exact closed-form attention gradient in fp32 XLA einsums
+# (dS = P ∘ (dP − rowsum(dP ∘ P)) with P recomputed from q/k — the standard
+# softmax-attention VJP).  It materializes the [B, H, N, M] score tensor in
+# the backward only, i.e. training through the kernel pays the memory the
+# inference path avoids; a blocked Pallas backward can replace this without
+# touching callers.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_autodiff(q, k, v, interpret: bool):
+    return _dispatch(q, k, v, interpret)
+
+
+def _flash_fwd(q, k, v, interpret: bool):
+    return _dispatch(q, k, v, interpret), (q, k, v)
+
+
+def _flash_bwd(interpret: bool, res, do):
+    q, k, v = res
+    scale = float(q.shape[-1]) ** -0.5
+    qf, kf, vf, dof = (x.astype(jnp.float32) for x in (q, k, v, do))
+    logits = jnp.einsum("bnhd,bmhd->bhnm", qf, kf) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    dv = jnp.einsum("bhnm,bnhd->bmhd", p, dof)
+    dp = jnp.einsum("bnhd,bmhd->bhnm", dof, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnm,bmhd->bnhd", ds, kf) * scale
+    dk = jnp.einsum("bhnm,bnhd->bmhd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_autodiff.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """q [B, N, H, D], k/v [B, M, H, D] -> [B, N, H, D].  fp32 softmax.
+
+    Differentiable: reverse-mode goes through the custom VJP above."""
+    B, N, H, D = q.shape
+    M = k.shape[1]
+    if k.shape != (B, M, H, D) or v.shape != (B, M, H, D):
+        raise ValueError(f"kv shape mismatch: {q.shape} vs {k.shape}/{v.shape}")
+    return _flash_autodiff(q, k, v, interpret)

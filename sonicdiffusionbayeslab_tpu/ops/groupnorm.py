@@ -60,6 +60,44 @@ def _kernel(x_ref, gamma_ref, beta_ref, o_ref, acc_ref, *, groups: int, eps: flo
         o_ref[0] = y.astype(o_ref.dtype)
 
 
+def _gn_silu_ref(x, gamma, beta, groups: int, eps: float, silu: bool):
+    """Pure-XLA GroupNorm(+SiLU) with the kernel's exact fp32 statistics —
+    the function whose VJP backs the Pallas forward below."""
+    B, C = x.shape[0], x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(B, -1, groups, C // groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(xf * xf, axis=(1, 3), keepdims=True) - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(x.shape) * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+# pallas_call has no VJP — without a custom rule, enabling SDBL_GROUPNORM=
+# pallas during training dies at trace time.  Backward = jax.vjp of the
+# XLA reference above (same statistics, exact gradient).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _gn_pallas(x, gamma, beta, groups, eps, silu, block_rows, interpret):
+    return _gn_pallas_impl(x, gamma, beta, groups, eps, silu, block_rows, interpret)
+
+
+def _gn_fwd(x, gamma, beta, groups, eps, silu, block_rows, interpret):
+    out = _gn_pallas_impl(x, gamma, beta, groups, eps, silu, block_rows, interpret)
+    return out, (x, gamma, beta)
+
+
+def _gn_bwd(groups, eps, silu, block_rows, interpret, res, do):
+    x, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda a, g, b: _gn_silu_ref(a, g, b, groups, eps, silu), x, gamma, beta
+    )
+    return vjp(do)
+
+
+_gn_pallas.defvjp(_gn_fwd, _gn_bwd)
+
+
 def group_norm_silu(
     x: jax.Array,
     gamma: jax.Array,
@@ -70,18 +108,29 @@ def group_norm_silu(
     block_rows: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """x [B, H, W, C] (or [B, N, C]) -> GroupNorm(+SiLU), fp32 statistics."""
-    orig_shape = x.shape
-    B, C = x.shape[0], x.shape[-1]
+    """x [B, H, W, C] (or [B, N, C]) -> GroupNorm(+SiLU), fp32 statistics.
+
+    Differentiable (custom VJP; backward is the exact XLA gradient)."""
+    C = x.shape[-1]
     if C % groups:
         raise ValueError(f"channels {C} not divisible by groups {groups}")
     N = 1
     for d in x.shape[1:-1]:
         N *= d
-    x2 = x.reshape(B, N, C)
     BS = min(block_rows, N)
     if N % BS:
         raise ValueError(f"spatial size {N} not divisible by block {BS}")
+    return _gn_pallas(x, gamma, beta, groups, eps, silu, block_rows, interpret)
+
+
+def _gn_pallas_impl(x, gamma, beta, groups, eps, silu, block_rows, interpret):
+    orig_shape = x.shape
+    B, C = x.shape[0], x.shape[-1]
+    N = 1
+    for d in x.shape[1:-1]:
+        N *= d
+    x2 = x.reshape(B, N, C)
+    BS = min(block_rows, N)
     n_blocks = N // BS
 
     out = pl.pallas_call(

@@ -86,6 +86,15 @@ _TP_RULES: Dict[str, P] = {
     # convs: split output channels (resnet conv1) / input channels (conv2)
     r".*/conv1/kernel$": P(None, None, None, "model"),
     r".*/conv2/kernel$": P(None, None, "model", None),
+    # MMDiT (SD3) joint attention, context stream: the add_* projections
+    # must split heads exactly like the image stream's to_q/k/v above so the
+    # [image ++ context] token concat sees one consistent head sharding.
+    r".*/(add_q_proj|add_k_proj|add_v_proj)/kernel$": P(None, "model"),
+    r".*/to_add_out/kernel$": P("model", None),
+    # MMDiT context-stream MLP (the image stream's 'ff' matches the UNet
+    # rule above; 'ff_context' needs its own — '.*/ff/' does not match it).
+    r".*/ff_context/proj_in/kernel$": P(None, "model"),
+    r".*/ff_context/proj_out/kernel$": P("model", None),
 }
 
 

@@ -59,6 +59,24 @@ def run_training(config) -> Dict[str, Any]:
     mcfg.setdefault("image_size", config.dataset.get("image_size", 512))
     pipe = models_registry[name](**mcfg)
     engine, params = pipe.engine, pipe.params
+    is_sd3 = hasattr(engine, "encode_prompts_sd3")
+    is_sdxl = (not is_sd3) and hasattr(engine, "encode_prompts_xl")
+    if is_sd3:
+        # MMDiT is a velocity model: rectified-flow matching is its native
+        # objective (overridable, but silently training epsilon on a
+        # velocity transformer would be a footgun).
+        tcfg_raw.setdefault("objective", "flow")
+        # SD3 LoRAs train both joint-attention streams (image to_* AND the
+        # context add_*_proj / to_add_out set).
+        from sonicdiffusionbayeslab_tpu.training.lora import MMDIT_TARGETS
+
+        tcfg_raw.setdefault("lora_targets", MMDIT_TARGETS)
+        if mode == "distill":
+            raise ValueError("LCM distillation targets the UNet family; the "
+                             "MMDiT family trains with objective: flow")
+    if is_sdxl and mode == "distill":
+        raise ValueError("LCM distillation is wired for the SD-1.5/2.x UNet "
+                         "family (no added_cond plumbing in the distiller)")
 
     dcfg = config.dataset
     dataset = ImageDatasetWithPrompts(
@@ -118,8 +136,29 @@ def run_training(config) -> Dict[str, Any]:
         images = jnp.asarray(batch["image"], jnp.float32)
         enc_key = jax.random.fold_in(key, 1000 + step_i)
         latents = engine.encode_image_fn(params["vae"], images, enc_key)
-        ids = pipe.tokenizer(list(batch["prompt"]))
-        context = engine.encode_prompts(params, ids)
+        prompts = list(batch["prompt"])
+        added = None
+        if is_sd3:
+            ids1 = pipe.tokenizer(prompts)
+            ids2 = pipe.tokenizer2(prompts)
+            ids3 = (pipe.tokenizer3(prompts)
+                    if getattr(pipe, "tokenizer3", None) is not None else None)
+            context, pooled = engine.encode_prompts_sd3(params, ids1, ids2, ids3)
+            added = {"text_embeds": pooled}
+        elif is_sdxl:
+            ids1 = pipe.tokenizer(prompts)
+            ids2 = pipe.tokenizer2(prompts)
+            context, pooled = engine.encode_prompts_xl(params, ids1, ids2)
+            # SDXL text_time micro-conditioning for training data that is
+            # already cropped/resized to the target size: (orig_h, orig_w,
+            # crop_top, crop_left, target_h, target_w).
+            size = float(images.shape[1])
+            time_ids = jnp.tile(
+                jnp.asarray([size, size, 0.0, 0.0, size, size], jnp.float32),
+                (images.shape[0], 1))
+            added = {"text_embeds": pooled, "time_ids": time_ids}
+        else:
+            context = engine.encode_prompts(params, pipe.tokenizer(prompts))
         hint = None
         if mode == "diffusion" and trainer.target == "controlnet":
             # Identity conditioning: the raw image is the hint. Real
@@ -132,7 +171,9 @@ def run_training(config) -> Dict[str, Any]:
             latents, context = shard_batch(mesh, latents, context)
             if hint is not None:
                 hint = shard_batch(mesh, hint)
-        return latents, context, hint
+            if added is not None:
+                added = {k: shard_batch(mesh, v) for k, v in added.items()}
+        return latents, context, hint, added
 
     def raw_batches():
         step_i = 0
@@ -181,13 +222,13 @@ def run_training(config) -> Dict[str, Any]:
     losses: list = []
     step = 0
     t0 = time.perf_counter()
-    for latents, context, hint in stream:
+    for latents, context, hint, added in stream:
         if mode == "distill":
             state, metrics = trainer.distill_step(state, params, latents, context,
                                                   uncond, key)
         else:
             state, metrics = trainer.train_step(state, params, latents, context, key,
-                                                hint=hint)
+                                                hint=hint, added=added)
         step += 1
         if step % log_every == 0 or step == num_steps:
             loss = float(metrics["loss"])
@@ -214,11 +255,16 @@ def _save(trainer, state, params, engine, save_dir: Path, step: int, final: bool
         save_params({"unet": trainer.student_unet_params(state, params)}, out)
     elif trainer.config.lora_rank > 0:
         # Export the adapters in the peft layout merge_lora consumes.
-        from sonicdiffusionbayeslab_tpu.models.weights import unet_name_map
+        from sonicdiffusionbayeslab_tpu.models.weights import (
+            mmdit_name_map,
+            unet_name_map,
+        )
         from sonicdiffusionbayeslab_tpu.training.lora import lora_to_peft_state_dict
 
+        name_map_fn = (mmdit_name_map if hasattr(engine, "encode_prompts_sd3")
+                       else unet_name_map)
         sd = lora_to_peft_state_dict(
-            jax.tree.map(np.asarray, state.trainable), unet_name_map(engine.unet_config)
+            jax.tree.map(np.asarray, state.trainable), name_map_fn(engine.unet_config)
         )
         out.mkdir(parents=True, exist_ok=True)
         np.savez(out / "lora_peft.npz", **sd)

@@ -31,6 +31,12 @@ DEFAULT_TARGETS = r".*/(to_q|to_k|to_v|to_out|to_qkv|to_kv)/kernel$"
 ATTN_AND_FF_TARGETS = (
     r".*/(to_q|to_k|to_v|to_out|to_qkv|to_kv|ff/proj_in|ff/proj_out)/kernel$"
 )
+# MMDiT joint attention: both streams' projections (the image-stream to_*
+# set is covered by DEFAULT_TARGETS; SD3 LoRAs also train the context
+# stream's add_*_proj / to_add_out).
+MMDIT_TARGETS = (
+    r".*/(to_q|to_k|to_v|to_out|add_q_proj|add_k_proj|add_v_proj|to_add_out)/kernel$"
+)
 
 
 def _flat_paths(tree) -> Dict[str, jax.Array]:

@@ -40,8 +40,17 @@ class TrainConfig:
     eps: float = 1e-8
     warmup_steps: int = 0
     max_grad_norm: float = 1.0
-    prediction_type: str = "epsilon"  # epsilon | v_prediction
+    prediction_type: str = "epsilon"  # epsilon | v_prediction (ddpm objective)
     snr_gamma: Optional[float] = None  # min-SNR-gamma loss weighting (None = uniform)
+    # Objective: "ddpm" (epsilon/v on the alphas_cumprod forward process) or
+    # "flow" — rectified-flow matching for the SD3/MMDiT family (Esser et
+    # al. 2024): x_t = (1-sigma) x0 + sigma eps with sigma = sigmoid(u),
+    # u ~ N(logit_mean, logit_std) (the paper's logit-normal density), the
+    # model predicts the velocity eps - x0, timestep input = sigma * 1000.
+    objective: str = "ddpm"  # ddpm | flow
+    logit_mean: float = 0.0
+    logit_std: float = 1.0
+    flow_num_train_timesteps: int = 1000
     ema_decay: Optional[float] = None  # None = no EMA shadow
     # LoRA mode: rank > 0 trains adapters only (base UNet frozen).
     lora_rank: int = 0
@@ -83,8 +92,17 @@ class DiffusionTrainer:
         self.schedule = NoiseSchedule.create(schedule_config or ScheduleConfig())
         if config.prediction_type not in ("epsilon", "v_prediction"):
             raise ValueError(f"unknown prediction_type {config.prediction_type!r}")
+        if config.objective not in ("ddpm", "flow"):
+            raise ValueError(f"unknown objective {config.objective!r} (ddpm|flow)")
         if config.train_target not in ("unet", "lora", "controlnet"):
             raise ValueError(f"unknown train_target {config.train_target!r}")
+        if config.objective == "flow":
+            if config.train_target == "controlnet":
+                raise ValueError("flow objective has no ControlNet family (MMDiT)")
+            if config.snr_gamma is not None:
+                raise ValueError(
+                    "snr_gamma is a DDPM-SNR concept; the flow objective's "
+                    "timestep density is the logit_mean/logit_std weighting")
         self.target = (
             "lora" if (config.lora_rank > 0 and config.train_target == "unet")
             else config.train_target
@@ -158,29 +176,43 @@ class DiffusionTrainer:
                 return apply_lora(frozen_unet, trainable, scale=cfg.lora_scale)
             return trainable
 
-        def train_step(state: TrainState, frozen_unet, latents, context, key, hint=None):
-            """latents [B,h,w,4] (VAE-scaled), context [B,T,C], key PRNG;
-            hint [B,8h,8w,3] control image (controlnet target only)."""
+        def train_step(state: TrainState, frozen_unet, latents, context, key, hint=None,
+                       added=None):
+            """latents [B,h,w,C] (VAE-scaled), context [B,T,C], key PRNG;
+            hint [B,8h,8w,3] control image (controlnet target only); added =
+            added_cond dict for families that need it (MMDiT pooled
+            text_embeds, SDXL text_time micro-conditioning)."""
             B = latents.shape[0]
             k_t, k_noise = jax.random.split(jax.random.fold_in(key, state.step))
-            t = jax.random.randint(k_t, (B,), 0, T)
             noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
-            a = ac[t][:, None, None, None]
-            sqrt_a, sqrt_1ma = jnp.sqrt(a), jnp.sqrt(1.0 - a)
-            noisy = sqrt_a * latents + sqrt_1ma * noise
-            if cfg.prediction_type == "v_prediction":
-                y = sqrt_a * noise - sqrt_1ma * latents
-            else:
-                y = noise
-
-            if cfg.snr_gamma is not None:
-                snr = snr_table[t]
-                w = jnp.minimum(snr, cfg.snr_gamma)
-                # min-SNR-gamma (Hang et al. 2023): epsilon loss divides by
-                # SNR; v loss by SNR+1.
-                w = w / (snr + 1.0) if cfg.prediction_type == "v_prediction" else w / snr
-            else:
+            if cfg.objective == "flow":
+                u = cfg.logit_mean + cfg.logit_std * jax.random.normal(
+                    k_t, (B,), jnp.float32)
+                sigma = jax.nn.sigmoid(u)
+                s = sigma[:, None, None, None]
+                noisy = (1.0 - s) * latents + s * noise
+                y = noise - latents  # velocity target
+                t = sigma * cfg.flow_num_train_timesteps
                 w = jnp.ones((B,), jnp.float32)
+            else:
+                t = jax.random.randint(k_t, (B,), 0, T)
+                a = ac[t][:, None, None, None]
+                sqrt_a, sqrt_1ma = jnp.sqrt(a), jnp.sqrt(1.0 - a)
+                noisy = sqrt_a * latents + sqrt_1ma * noise
+                if cfg.prediction_type == "v_prediction":
+                    y = sqrt_a * noise - sqrt_1ma * latents
+                else:
+                    y = noise
+
+                if cfg.snr_gamma is not None:
+                    snr = snr_table[t]
+                    w = jnp.minimum(snr, cfg.snr_gamma)
+                    # min-SNR-gamma (Hang et al. 2023): epsilon loss divides
+                    # by SNR; v loss by SNR+1.
+                    w = (w / (snr + 1.0) if cfg.prediction_type == "v_prediction"
+                         else w / snr)
+                else:
+                    w = jnp.ones((B,), jnp.float32)
 
             maybe_remat = (
                 functools.partial(
@@ -211,10 +243,14 @@ class DiffusionTrainer:
                     p = effective_unet_params(frozen_unet, trainable)
 
                     @maybe_remat
-                    def fwd(pp, x, tt, c):
-                        return unet.apply({"params": pp}, x, tt, c).astype(jnp.float32)
+                    def fwd(pp, x, tt, c, add):
+                        if add is None:
+                            return unet.apply(
+                                {"params": pp}, x, tt, c).astype(jnp.float32)
+                        return unet.apply(
+                            {"params": pp}, x, tt, c, add).astype(jnp.float32)
 
-                    pred = fwd(p, x_in, t_in, c_in)
+                    pred = fwd(p, x_in, t_in, c_in, added)
                 per = jnp.mean((pred - y) ** 2, axis=(1, 2, 3))
                 return jnp.mean(w * per)
 
@@ -240,14 +276,15 @@ class DiffusionTrainer:
         return self._step_fn
 
     def train_step(self, state: TrainState, params: Dict[str, Any], latents, context, key,
-                   hint=None):
+                   hint=None, added=None):
         """One optimization step. ``params['unet']`` is the frozen base in
         LoRA/ControlNet modes (unused in full mode — the trainable tree IS
-        the UNet); ``hint`` is the control image batch (controlnet target)."""
+        the UNet); ``hint`` is the control image batch (controlnet target);
+        ``added`` is the added_cond dict (MMDiT/SDXL families)."""
         frozen = params["unet"] if self.target in ("lora", "controlnet") else None
         if self.target == "controlnet" and hint is None:
             raise ValueError("controlnet training needs a hint image batch")
-        return self.step_fn(state, frozen, latents, context, key, hint)
+        return self.step_fn(state, frozen, latents, context, key, hint, added)
 
     # ----------------------------------------------------------- export
     def unet_params(self, state: TrainState, params: Dict[str, Any], use_ema: bool = False):

@@ -42,3 +42,32 @@ def test_group_norm_validates():
     x = jnp.zeros((1, 4, 4, 30))
     with pytest.raises(ValueError, match="divisible"):
         group_norm_silu(x, jnp.ones(30), jnp.zeros(30), groups=32, interpret=True)
+
+
+def test_groupnorm_kernel_gradient_matches_xla():
+    """Custom VJP: Pallas forward, exact XLA backward — gradients for x,
+    gamma, beta match differentiating the plain GroupNorm+SiLU."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 8)).astype(np.float32))
+    gamma = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+    co = jnp.asarray(rng.standard_normal((2, 4, 4, 8)).astype(np.float32))
+
+    def ref(x, gamma, beta):
+        xf = x.reshape(2, -1, 4, 2)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(xf * xf, axis=(1, 3), keepdims=True) - mean * mean
+        y = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+        y = y.reshape(x.shape) * gamma + beta
+        return y * jax.nn.sigmoid(y)
+
+    def loss_k(x, gamma, beta):
+        return jnp.sum(group_norm_silu(x, gamma, beta, groups=4, interpret=True) * co)
+
+    def loss_r(x, gamma, beta):
+        return jnp.sum(ref(x, gamma, beta) * co)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, gamma, beta)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

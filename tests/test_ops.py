@@ -79,3 +79,29 @@ def test_xfmr_barrier_is_exact(monkeypatch):
     monkeypatch.setenv("SDBL_XFMR_BARRIER", "1")
     out_on = st.apply({"params": params}, x, ctx)
     np.testing.assert_array_equal(np.asarray(out_off), np.asarray(out_on))
+
+
+def test_flash_attention_gradient_matches_xla():
+    """The kernel's custom VJP (Pallas forward, closed-form einsum backward)
+    must produce the same q/k/v gradients as differentiating the plain XLA
+    attention — the rule that makes jax.grad through a training step work
+    when the tiered/pallas backend dispatched the kernel."""
+    from sonicdiffusionbayeslab_tpu.ops.attention import _xla_attention
+    from sonicdiffusionbayeslab_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((2, 16, 2, 8)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 12, 2, 8)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 12, 2, 8)).astype(np.float32))
+    co = jnp.asarray(rng.standard_normal((2, 16, 2, 8)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) * co)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v) * co)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
