@@ -260,9 +260,25 @@ class MMDiT(nn.Module):
         *,
         tome=None,
         timestep_cond: Optional[jax.Array] = None,
-        # No **kwargs catch-all: unsupported engine features (DeepCache's
-        # cache=, ControlNet residuals, IP-Adapter tokens) must fail loudly
-        # at trace time, not be silently swallowed.
+        # DeepCache for the DiT family (trunk-delta caching): the engine's
+        # CachePlan machinery drives these exactly like the UNet's
+        # (sampler.py full/cached lax.cond branches; reference product:
+        # /root/reference/src/experiments/deep_cache.py:23-29).  The block
+        # stack splits at depth b = cache_branch_id: blocks 0..b-1
+        # ("shallow") always run fresh; the deep trunk's cumulative
+        # RESIDUAL delta (x_out - x_b, one [B, N, hidden] tensor) is
+        # recorded on full steps and replayed on cached steps — the DiT
+        # analog of replaying the U-Net's deep features across a skip
+        # (per-block variant: FORA, Selvaraju et al. 2024; delta form:
+        # Delta-DiT, Chen et al. 2024).  AdaLN modulation (timestep +
+        # pooled conditioning) and the final norm_out stay fresh on every
+        # step.
+        cache: Optional[jax.Array] = None,  # [B, N_patches, hidden] trunk delta
+        return_cache: bool = False,
+        cache_branch_id: int = 0,  # static: # of always-fresh leading blocks
+        # No **kwargs catch-all: unsupported engine features (ControlNet
+        # residuals, IP-Adapter tokens) must fail loudly at trace time,
+        # not be silently swallowed.
     ) -> jax.Array:
         cfg = self.config
         if tome is not None:
@@ -308,11 +324,32 @@ class MMDiT(nn.Module):
                 f"{cfg.joint_attention_dim} (pad as the pipeline does)")
         ctx = nn.Dense(cfg.hidden_size, **kw, name="context_embedder")(ctx)
 
-        for i in range(cfg.depth):
-            x, ctx = MMDiTBlock(
-                cfg, context_pre_only=(i == cfg.depth - 1),
-                name=f"blocks_{i}", **kw,
-            )(x, ctx, c)
+        branch = int(cache_branch_id)
+        if (cache is not None or return_cache) and not 0 <= branch < cfg.depth:
+            raise ValueError(
+                f"cache_branch_id {branch} out of range [0, {cfg.depth}) "
+                f"(number of always-fresh leading blocks)")
+        if cache is not None and return_cache:
+            raise ValueError("cache= and return_cache are exclusive (a step "
+                             "either replays the trunk or records it)")
+
+        def block(i):
+            return MMDiTBlock(cfg, context_pre_only=(i == cfg.depth - 1),
+                              name=f"blocks_{i}", **kw)
+
+        if cache is not None:
+            # Cached step: only the shallow blocks run; the deep trunk's
+            # recorded residual delta is replayed on top of their output.
+            for i in range(branch):
+                x, ctx = block(i)(x, ctx, c)
+            x = x + cache.astype(self.dtype)
+        else:
+            x_b = x
+            for i in range(cfg.depth):
+                if i == branch:
+                    x_b = x
+                x, ctx = block(i)(x, ctx, c)
+            trunk_delta = x - x_b
 
         scale, shift = AdaLNZero(2, cfg.hidden_size, name="norm_out", **kw)(c)
         x = _modulate(
@@ -326,4 +363,14 @@ class MMDiT(nn.Module):
         # Unpatchify back to NHWC velocity.
         x = x.reshape(B, hp, wp, p, p, cfg.out_channels)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, h, w, cfg.out_channels)
+        if return_cache:
+            return x, trunk_delta
         return x
+
+    def cache_shape(self, height: int, width: int, cache_branch_id: int = 0):
+        """Shape of the trunk-delta cache for a [*, height, width, *]
+        latent: one hidden-width vector per image patch token (the split
+        depth does not change the shape — the delta always lives on the
+        image stream at full token resolution)."""
+        p = self.config.patch_size
+        return ((height // p) * (width // p), self.config.hidden_size)

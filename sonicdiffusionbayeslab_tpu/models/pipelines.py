@@ -517,9 +517,14 @@ class StableDiffusion3Model(StableDiffusionXLModel):
     hidden states concatenated after the CLIP features on the sequence axis
     (models/t5.py), loaded from a snapshot's text_encoder_3/tokenizer_3.
 
+    DeepCache works for this family too — the MMDiT implements the same
+    ``cache``/``return_cache``/``cache_branch_id`` interface as the UNet
+    (trunk-delta caching: blocks 0..b-1 fresh, the deep stack's residual
+    replayed between full steps — models/mmdit.py), so ``DeepCacheMethod``
+    / ``cache_plan_fn`` drive it unchanged.
+
     Not available for this family (loud errors, not silent no-ops):
-    DeepCache (UNet branch structure), ControlNet, IP-Adapter, ToMe,
-    ``(word:1.3)`` prompt weighting.
+    ControlNet, IP-Adapter, ToMe, ``(word:1.3)`` prompt weighting.
     """
 
     def __init__(self, pretrained_model: str = "stabilityai/stable-diffusion-3-medium",

@@ -14,7 +14,7 @@ import numpy as np
 import pytest
 
 from sonicdiffusionbayeslab_tpu.models.mmdit import MMDiT, MMDiTConfig
-from sonicdiffusionbayeslab_tpu.models.sampler import SDXLTextConfigs
+from sonicdiffusionbayeslab_tpu.models.sampler import CachePlan, SDXLTextConfigs
 from sonicdiffusionbayeslab_tpu.models.sd3 import SD3Engine
 from sonicdiffusionbayeslab_tpu.models.tokenizer import HashTokenizer
 from sonicdiffusionbayeslab_tpu.models.vae import VAEConfig
@@ -226,10 +226,33 @@ def test_mmdit_loud_errors(mmdit):
         mod.apply({"params": params}, lat, t, ctx, None)
     with pytest.raises(ValueError, match="joint_attention_dim"):
         mod.apply({"params": params}, lat, t, ctx[..., :8], {"text_embeds": pooled})
-    with pytest.raises(TypeError):  # DeepCache kwargs must fail loudly
-        mod.apply({"params": params}, lat, t, ctx, {"text_embeds": pooled}, cache=None)
     with pytest.raises(NotImplementedError, match="Token Merging"):
         mod.apply({"params": params}, lat, t, ctx, {"text_embeds": pooled}, tome=0.5)
+    with pytest.raises(ValueError, match="out of range"):
+        mod.apply({"params": params}, lat, t, ctx, {"text_embeds": pooled},
+                  return_cache=True, cache_branch_id=cfg.depth)
+    with pytest.raises(ValueError, match="exclusive"):
+        mod.apply({"params": params}, lat, t, ctx, {"text_embeds": pooled},
+                  cache=jnp.zeros((2, 16, cfg.hidden_size)), return_cache=True)
+
+
+def test_mmdit_trunk_delta_cache_exact_replay(mmdit):
+    """DeepCache for the DiT family: a cached call replaying the delta
+    recorded at the SAME inputs must reproduce the full call exactly
+    (shallow blocks recompute x_b identically, x_b + delta == trunk out),
+    and the full call with return_cache must equal the plain forward."""
+    cfg, mod, params, lat, t, ctx, pooled = mmdit
+    added = {"text_embeds": pooled}
+    base = mod.apply({"params": params}, lat, t, ctx, added)
+    for b in range(cfg.depth):
+        out_full, delta = mod.apply({"params": params}, lat, t, ctx, added,
+                                    return_cache=True, cache_branch_id=b)
+        assert delta.shape == (2,) + mod.cache_shape(8, 8, b)
+        np.testing.assert_array_equal(np.asarray(out_full), np.asarray(base))
+        out_cached = mod.apply({"params": params}, lat, t, ctx, added,
+                               cache=delta, cache_branch_id=b)
+        np.testing.assert_allclose(np.asarray(out_cached), np.asarray(out_full),
+                                   atol=1e-5)
 
 
 def test_mmdit_qk_norm_variant():
@@ -301,6 +324,37 @@ def test_sd3_microbatch_matches_plain(engine, params):
     chunked = engine.sample(params, plan, ctx, nctx, jax.random.PRNGKey(1),
                             microbatch=2, **kw)
     np.testing.assert_allclose(np.asarray(plain.images), np.asarray(chunked.images),
+                               atol=1e-5)
+
+
+def test_sd3_deepcache_through_engine(engine, params):
+    """CachePlan drives the MMDiT through the same sampler machinery as
+    the UNet: an all-full plan is EXACT (bit-equal to no cache), a real
+    interval runs finite-and-different (approximate accel), and the cache
+    tensor chunks correctly under micro-batching."""
+    ctx, pooled = _encode_both(engine, params, ["a cat", "a dog"])
+    nctx, npooled = _encode_both(engine, params, ["", ""])
+    plan = FlowMatchEulerScheduler().build_plan(4)
+    added = {"text_embeds": pooled, "negative_text_embeds": npooled,
+             "time_ids": jnp.zeros((2, 6))}
+    kw = dict(guidance_scale=4.0, latent_hw=(8, 8), added_cond=added)
+    key = jax.random.PRNGKey(2)
+
+    base = engine.sample(params, plan, ctx, nctx, key, **kw)
+    exact = engine.sample(params, plan, ctx, nctx, key,
+                          cache_plan=CachePlan.every(4, 1, branch=1), **kw)
+    np.testing.assert_allclose(np.asarray(base.images), np.asarray(exact.images),
+                               atol=1e-5)
+
+    fast = engine.sample(params, plan, ctx, nctx, key,
+                         cache_plan=CachePlan.every(4, 2, branch=1), **kw)
+    assert fast.images.shape == base.images.shape
+    assert bool(jnp.isfinite(fast.images).all())
+    assert not np.allclose(np.asarray(fast.images), np.asarray(base.images))
+
+    fast_mb = engine.sample(params, plan, ctx, nctx, key, microbatch=2,
+                            cache_plan=CachePlan.every(4, 2, branch=1), **kw)
+    np.testing.assert_allclose(np.asarray(fast.images), np.asarray(fast_mb.images),
                                atol=1e-5)
 
 
