@@ -37,7 +37,61 @@ def main():
     from sonicdiffusionbayeslab_tpu.models.tokenizer import HashTokenizer
     from sonicdiffusionbayeslab_tpu.schedulers import DPMSolverScheduler
 
-    sdxl = os.environ.get("SDBL_BENCH_MODEL", "").lower() == "sdxl"
+    bench_model = os.environ.get("SDBL_BENCH_MODEL", "").lower()
+    sdxl = bench_model == "sdxl"
+    if on_tpu and not quick and bench_model == "sd3":
+        # Secondary benchmark (docs/PERF.md): SD3-medium geometry (MMDiT
+        # depth 24 / hidden 1536, 16-ch VAE) at 1024px, 20-step flow-match
+        # Euler.  SDBL_BENCH_CACHE_INTERVAL >= 2 adds trunk-delta caching
+        # (models/mmdit.py) at split depth SDBL_BENCH_CACHE_BRANCH.
+        from sonicdiffusionbayeslab_tpu.models.sampler import CachePlan
+        from sonicdiffusionbayeslab_tpu.models.sd3 import SD3Engine
+        from sonicdiffusionbayeslab_tpu.schedulers import FlowMatchEulerScheduler
+
+        batch = int(os.environ.get("SDBL_BENCH_BATCH", "4"))
+        engine = SD3Engine(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+        params = engine.init_params(seed=0, latent_hw=128)
+        tok1 = HashTokenizer(vocab_size=engine.text_config.vocab_size,
+                             max_length=engine.text_config.max_length)
+        tok2 = HashTokenizer(vocab_size=engine.text2_config.vocab_size,
+                             max_length=engine.text2_config.max_length)
+        prompts = ["a man on a snowboard coming down a slope"] * batch
+        ctx, pooled = engine.encode_prompts_sd3(params, tok1(prompts), tok2(prompts))
+        nctx, npooled = engine.encode_prompts_sd3(params, tok1([""] * batch),
+                                                  tok2([""] * batch))
+        added = {"text_embeds": pooled, "negative_text_embeds": npooled,
+                 "time_ids": jnp.zeros((batch, 6), jnp.float32)}
+        steps = 20
+        plan = FlowMatchEulerScheduler(shift=3.0).build_plan(steps)
+        interval = int(os.environ.get("SDBL_BENCH_CACHE_INTERVAL", "0"))
+        branch = int(os.environ.get("SDBL_BENCH_CACHE_BRANCH", "2"))
+        cache_plan = (CachePlan.every(steps, interval, branch)
+                      if interval >= 2 else None)
+        key = jax.random.PRNGKey(29)
+        # Micro-batching is REQUIRED at this geometry: the CFG-doubled
+        # batch through 24 joint-attention blocks at N ~ 4250 tokens OOMs
+        # HBM un-chunked (26.3G vs 15.75G measured) — chunks of 2 keep the
+        # per-step working set bounded, output-identical (docs/PERF.md).
+        mb_env = os.environ.get("SDBL_BENCH_MICROBATCH", "")
+        microbatch = int(mb_env) if mb_env else batch  # chunks of 2 (CFG-doubled)
+        kw = dict(latent_hw=(128, 128), guidance_scale=7.0, decode=False,
+                  added_cond=added, cache_plan=cache_plan, microbatch=microbatch)
+        engine.sample(params, plan, ctx, nctx, key, **kw)  # warm-up/compile
+        times = []
+        for r in range(3):
+            out = engine.sample(params, plan, ctx, nctx, jax.random.fold_in(key, r), **kw)
+            times.append(out.execution_time)
+        sec_per_image = min(times) / batch
+        cache_tag = f", cache {interval}/b{branch}" if cache_plan else ""
+        print(json.dumps({
+            "metric": (f"images/hour/chip SD3-medium 1024px @20-step "
+                       f"FlowMatchEuler (loop-only, batch {batch}{cache_tag})"),
+            "value": round(3600.0 / sec_per_image, 1),
+            "unit": "images/hour/chip",
+            "vs_baseline": round(3600.0 / sec_per_image / 2000.0, 3),
+        }))
+        return
+
     if on_tpu and not quick and sdxl:
         # Secondary benchmark (docs/PERF.md): SDXL-base geometry at 1024px.
         # The driver's recorded metric stays the SD-1.5 hero config below.
