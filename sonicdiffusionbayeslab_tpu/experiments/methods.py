@@ -23,6 +23,22 @@ def _sweep(v) -> list:
     return list(v) if isinstance(v, (list, tuple)) else [v]
 
 
+_MULTISTEP_SCHEDULERS = ("dpm_solver_scheduler", "deis_scheduler", "unipc_scheduler")
+
+
+def _composer_scheduler_kwargs(name: str, params) -> dict:
+    """Per-scheduler kwargs for the composition methods (two_schedulers /
+    interliving / skip_steps), which build schedulers by registry name:
+    multistep families take the sweep's solver_order (the kwarg the
+    reference misspells and silently drops, two_schedulers.py:51,59); the
+    flow family takes the sigma-grid shift (SD3-class plans)."""
+    if name in _MULTISTEP_SCHEDULERS:
+        return {"solver_order": int(params.get("solver_order", 2))}
+    if name == "flow_match_euler_scheduler":
+        return {"shift": float(params.get("shift", 3.0))}
+    return {}
+
+
 @methods_registry.add_to_registry("default")
 class DefaultStableDiffusion(BaseMethod):
     """Baseline sweep with SD's default PNDM/PLMS scheduler (reference
@@ -213,17 +229,15 @@ class ConsistencyModelMethod(BaseMethod):
 class _TwoSchedulerBase(BaseMethod):
     def _build_pair(self, key1: str, key2: str, default1: str, default2: str):
         scfg = self.config.get("scheduler")
-        solver_order = int(self.params.get("solver_order", 2))
 
         def build(name):
-            kw = {}
-            if name == "dpm_solver_scheduler":
-                # NB: the reference passes a misspelled 'sovler_order' kwarg
-                # that diffusers silently drops (two_schedulers.py:51,59) —
-                # here solver_order is applied for real, and our registry
-                # would reject the typo loudly.
-                kw["solver_order"] = solver_order
-            return self.build_scheduler(name, **kw)
+            # NB: the reference passes a misspelled 'sovler_order' kwarg
+            # that diffusers silently drops (two_schedulers.py:51,59) —
+            # here solver_order is applied for real, and our registry
+            # would reject the typo loudly.
+            return self.build_scheduler(
+                name, **_composer_scheduler_kwargs(name, self.params)
+            )
 
         return (
             build(scfg.get(key1, default1) if scfg else default1),
@@ -293,11 +307,13 @@ class SkipStepsMethod(BaseMethod):
     lists (reference skip_steps_exp.py:10-135, DPM-Solver kwargs)."""
 
     def setup_scheduler(self) -> None:
-        self.model.scheduler = self.build_scheduler(
+        name = (
             self.config.scheduler.get("scheduler_name", "dpm_solver_scheduler")
             if self.config.get("scheduler")
-            else "dpm_solver_scheduler",
-            solver_order=int(self.params.get("solver_order", 2)),
+            else "dpm_solver_scheduler"
+        )
+        self.model.scheduler = self.build_scheduler(
+            name, **_composer_scheduler_kwargs(name, self.params)
         )
 
     def grid(self) -> Iterable[dict]:

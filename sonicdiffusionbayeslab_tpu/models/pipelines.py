@@ -600,9 +600,9 @@ class StableDiffusion3Model(StableDiffusionXLModel):
         return {"added_cond": added}
 
 
-@models_registry.add_to_registry("stable_diffusion_model_two_schedulers")
-class StableDiffusionModelTwoSchedulers(StableDiffusionModel):
-    """Scheduler-switching pipeline (reference models.py:338-730)."""
+class _TwoSchedulersPlanMixin:
+    """Scheduler-switching plan construction — model-family independent
+    (the plan composers are pure row math, schedulers/plans.py)."""
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
@@ -621,9 +621,8 @@ class StableDiffusionModelTwoSchedulers(StableDiffusionModel):
         )
 
 
-@models_registry.add_to_registry("stable_diffusion_model_interliving_schedulers")
-class StableDiffusionModelInterlivingSchedulers(StableDiffusionModel):
-    """Interleaved-scheduler pipeline (reference models.py:733-1135)."""
+class _InterlivingPlanMixin:
+    """Interleaved-scheduler plan construction — model-family independent."""
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
@@ -638,14 +637,47 @@ class StableDiffusionModelInterlivingSchedulers(StableDiffusionModel):
         )
 
 
-@models_registry.add_to_registry("stable_diffusion_model_skip_timesteps")
-class StableDiffusionModelSkipTimesteps(StableDiffusionModel):
-    """Step-skipping pipeline (reference models.py:1138-1467)."""
+class _SkipTimestepsPlanMixin:
+    """Step-skipping plan construction — model-family independent."""
 
     def build_plan(self, num_inference_steps, skip_timesteps=(), **_):
         if not skip_timesteps:
             return self.scheduler.build_plan(num_inference_steps)
         return plan_composers.skip_plan(self.scheduler, num_inference_steps, skip_timesteps)
+
+
+@models_registry.add_to_registry("stable_diffusion_model_two_schedulers")
+class StableDiffusionModelTwoSchedulers(_TwoSchedulersPlanMixin, StableDiffusionModel):
+    """Scheduler-switching pipeline (reference models.py:338-730)."""
+
+
+@models_registry.add_to_registry("stable_diffusion_model_interliving_schedulers")
+class StableDiffusionModelInterlivingSchedulers(_InterlivingPlanMixin, StableDiffusionModel):
+    """Interleaved-scheduler pipeline (reference models.py:733-1135)."""
+
+
+@models_registry.add_to_registry("stable_diffusion_model_skip_timesteps")
+class StableDiffusionModelSkipTimesteps(_SkipTimestepsPlanMixin, StableDiffusionModel):
+    """Step-skipping pipeline (reference models.py:1138-1467)."""
+
+
+@models_registry.add_to_registry("stable_diffusion_3_model_two_schedulers")
+class StableDiffusion3ModelTwoSchedulers(_TwoSchedulersPlanMixin, StableDiffusion3Model):
+    """SD3 scheduler-switching pipeline: the reference's two-scheduler
+    experiment semantics (models.py:338-730) on the flow family — both
+    schedulers must be flow-space (flow<->flow joins are well-defined;
+    the composer's SPACE guard rejects flow<->VP mixes)."""
+
+
+@models_registry.add_to_registry("stable_diffusion_3_model_interliving_schedulers")
+class StableDiffusion3ModelInterlivingSchedulers(_InterlivingPlanMixin, StableDiffusion3Model):
+    """SD3 interleaved-scheduler pipeline (ladder mode; flow<->flow)."""
+
+
+@models_registry.add_to_registry("stable_diffusion_3_model_skip_timesteps")
+class StableDiffusion3ModelSkipTimesteps(_SkipTimestepsPlanMixin, StableDiffusion3Model):
+    """SD3 step-skipping pipeline (reference skip semantics on the flow
+    sigma grid — skipped transitions simply absent)."""
 
 
 @models_registry.add_to_registry("stable_diffusion_controlnet_model")

@@ -63,6 +63,12 @@ __all__ = [
 
 class _PlanBuilder:
     NAME = "base"
+    # Sample space of the carried latent — plan composers only join
+    # schedulers living in the same space (a VP sample a_t x0 + s_t eps, a
+    # k-diffusion sigma-space sample x0 + sigma eps, and a flow-path sample
+    # (1-sigma) x0 + sigma eps are different parameterizations; handing one
+    # scheduler's carry to another's row is undefined math, not a feature).
+    SPACE = "vp"
 
     def __init__(self, schedule_config=None, prediction_type: Optional[str] = None):
         base = ScheduleConfig.from_dict(schedule_config or {})
@@ -471,6 +477,7 @@ class EulerScheduler(_PlanBuilder):
 
     NAME = "euler"
     ANCESTRAL = False
+    SPACE = "sigma"
 
     def __init__(self, schedule_config=None, prediction_type=None,
                  use_karras_sigmas: bool = False):
@@ -567,9 +574,18 @@ class FlowMatchEulerScheduler(_PlanBuilder):
     ``x = (1-sigma) x0 + sigma eps`` and the model predicts velocity.
 
     ``shift`` is the resolution shift of the sigma grid (Esser et al.
-    2024; 3.0 = SD3-medium's shipped value)."""
+    2024; 3.0 = SD3-medium's shipped value).
+
+    Plan composition (two-scheduler / interleave / skip, the reference's
+    three experimental pipelines, src/models.py:338-1467): every hook is
+    implemented for flow<->flow composition — Euler rows are memoryless and
+    the sigma path is shared, so switch joins, interleave ladders and skip
+    plans are all well-defined single-row math.  Flow<->VP mixes are
+    rejected by the composers' SPACE guard (the carried sample lives on a
+    different path; see :class:`_PlanBuilder`.SPACE)."""
 
     NAME = "flow_euler"
+    SPACE = "flow"
 
     def __init__(self, schedule_config=None, prediction_type=None,
                  shift: float = 3.0):
@@ -580,6 +596,55 @@ class FlowMatchEulerScheduler(_PlanBuilder):
     def _sigmas(self, num_steps: int) -> np.ndarray:
         return flow_sigmas(num_steps, shift=self.shift,
                            num_train_timesteps=self.config.num_train_timesteps)
+
+    def timesteps(self, num_steps: int) -> np.ndarray:
+        """Flow conditioning timesteps: sigma * T, descending floats (the
+        sigma grid without its trailing 0).  Overrides the VP
+        ``space_timesteps`` grid — flow schedules are defined in sigma, and
+        the composers (plans.py) pass these through ``t / T`` to recover
+        sigmas exactly."""
+        T = self.config.num_train_timesteps
+        return self._sigmas(num_steps)[:-1] * T
+
+    # ---- composer hooks (flow<->flow composition; see class docstring) ----
+    def _rows_on_grid(self, sigmas, indices, tag=""):
+        from sonicdiffusionbayeslab_tpu.schedulers.flow import flow_transition_row
+
+        sig = np.asarray(sigmas, np.float64)
+        return [
+            flow_transition_row(
+                float(sig[i]), float(sig[i + 1]),
+                num_train_timesteps=self.config.num_train_timesteps, tag=tag,
+            )
+            for i in indices
+        ]
+
+    @staticmethod
+    def _grid_from_ts(ts, T) -> np.ndarray:
+        """sigma grid (trailing 0.0) from a composer's timestep array."""
+        return np.concatenate([np.asarray(ts, np.float64) / T, [0.0]])
+
+    def transition_rows(self, ts, num_steps, executed, tag=""):
+        sig = self._grid_from_ts(ts, self.config.num_train_timesteps)
+        return self._rows_on_grid(sig, list(executed), tag=tag)
+
+    def transition_rows_from_schedule(self, ts, start, tag=""):
+        sig = self._grid_from_ts(ts, self.config.num_train_timesteps)
+        return self._rows_on_grid(sig, range(start, len(ts)), tag=tag)
+
+    def ladder_rows(self, ts_exec, positions, tag=""):
+        # Interleave "ladder" semantics: executed steps transition along the
+        # executed schedule's true noise levels (plans.interleave_plan).
+        sig = self._grid_from_ts(ts_exec, self.config.num_train_timesteps)
+        return self._rows_on_grid(sig, list(positions), tag=tag)
+
+    def skip_rows(self, num_steps, executed, tag=""):
+        # Flow Euler is timestep-indexed (memoryless), so skip keeps each
+        # executed step's own sigma[i] -> sigma[i+1] target and un-executed
+        # transitions are simply absent — the run ends short of sigma=0 by
+        # the skipped steps' integrated delta, the same semantics as DDIM
+        # skips (reference src/models.py:1337-1340).
+        return self._rows_on_grid(self._sigmas(num_steps), list(executed), tag=tag)
 
     def build_plan(self, num_steps: int) -> SamplePlan:
         return self.tail_plan(num_steps, 0)

@@ -53,6 +53,34 @@ def flow_sigmas(
     return np.concatenate([sig, [0.0]])
 
 
+def flow_transition_row(
+    sigma: float,
+    sigma_next: float,
+    *,
+    num_train_timesteps: int = 1000,
+    tag: str = "",
+) -> StepRow:
+    """One explicit-Euler transition sigma -> sigma_next on the flow path.
+
+    Memoryless and linear in (x, v) — the flow analogue of
+    :func:`..ddim.ddim_transition_row`, and the unit every flow plan
+    composer (two-scheduler / interleave / skip) is built from."""
+    s, s_next = float(sigma), float(sigma_next)
+    return StepRow(
+        timestep=s * num_train_timesteps,
+        in_scale=1.0,  # flow models take the raw sample
+        w_sample=1.0,
+        w_eps=s_next - s,  # x' = x + (sigma' - sigma) v
+        cm_sample=1.0,
+        cm_eps=s_next - s,  # history entry (unused: hist depth 1, no refs)
+        cx_sample=1.0,
+        cx_eps=-s,  # x0 = x - sigma v
+        push=True,
+        scheduler="flow_euler",
+        tag=tag,
+    )
+
+
 def flow_euler_rows(
     sigmas: np.ndarray,
     *,
@@ -61,22 +89,10 @@ def flow_euler_rows(
 ) -> List[StepRow]:
     """One Euler row per sigma transition; model output = velocity."""
     sig = np.asarray(sigmas, np.float64)
-    rows: List[StepRow] = []
-    for i in range(len(sig) - 1):
-        s, s_next = float(sig[i]), float(sig[i + 1])
-        rows.append(
-            StepRow(
-                timestep=s * num_train_timesteps,
-                in_scale=1.0,  # flow models take the raw sample
-                w_sample=1.0,
-                w_eps=s_next - s,  # x' = x + (sigma' - sigma) v
-                cm_sample=1.0,
-                cm_eps=s_next - s,  # history entry (unused: hist depth 1, no refs)
-                cx_sample=1.0,
-                cx_eps=-s,  # x0 = x - sigma v
-                push=True,
-                scheduler="flow_euler",
-                tag=tag,
-            )
+    return [
+        flow_transition_row(
+            float(sig[i]), float(sig[i + 1]),
+            num_train_timesteps=num_train_timesteps, tag=tag,
         )
-    return rows
+        for i in range(len(sig) - 1)
+    ]

@@ -42,6 +42,21 @@ def join_index(ts_second: np.ndarray, last_first: int, type_switch: str) -> int:
     raise ValueError(f"unknown type_switch {type_switch!r}")
 
 
+def _check_same_space(a, b, what: str) -> None:
+    """Composition guard: both schedulers must carry the sample in the same
+    space (VP a x0 + s eps / sigma-space x0 + sigma eps / flow-path
+    (1-sigma) x0 + sigma eps).  Cross-space joins hand one parameterization's
+    carry to another's coefficient rows — undefined math, rejected loudly
+    (docs/MODELS.md composition matrix)."""
+    sa, sb = getattr(a, "SPACE", "vp"), getattr(b, "SPACE", "vp")
+    if sa != sb:
+        raise ValueError(
+            f"{what} cannot compose {a.NAME} ({sa}-space) with {b.NAME} "
+            f"({sb}-space): the carried sample lives on different paths. "
+            f"Compose within one family (e.g. flow<->flow, vp<->vp)."
+        )
+
+
 def two_scheduler_plan(
     first,
     second,
@@ -61,12 +76,13 @@ def two_scheduler_plan(
     while its history ring carries the phase-1 x0 pushes
     (src/models.py:603-611) — in this design, one *shared* ring.
     """
+    _check_same_space(first, second, "two_scheduler_plan")
     ts1 = first.timesteps(num_inference_steps_first)
     k = int(num_step_switch)
     if not 1 <= k <= len(ts1):
         raise ValueError(f"num_step_switch {k} out of range for {len(ts1)} steps")
     ts2 = ts1.copy()  # seeded schedule (see docstring)
-    j = join_index(ts2, int(ts1[k - 1]), type_switch)
+    j = join_index(ts2, float(ts1[k - 1]), type_switch)
 
     rows: List[StepRow] = []
     rows += first.transition_rows(
@@ -115,12 +131,18 @@ def interleave_plan(
         return _interleave_plan_reference(main, inter, num_inference_steps, interliving_steps)
     if mode != "ladder":
         raise ValueError(f"unknown interleave mode {mode!r} (ladder | reference)")
+    _check_same_space(main, inter, "interleave_plan")
     order = getattr(main, "solver_order", 1)
     ts_main = main.timesteps(num_inference_steps)
     windows = set(int(w) for w in interliving_steps)
 
+    # Flow timesteps are sigma*T floats — keep them exact; VP grids stay
+    # integral (make_ladder indexes alphas_cumprod by timestep).
+    is_flow = getattr(main, "SPACE", "vp") == "flow"
+    cast = float if is_flow else int
+
     entries = []  # (timestep, owner)
-    for i, t in enumerate(int(x) for x in ts_main):
+    for i, t in enumerate(cast(x) for x in ts_main):
         if i // order in windows:
             if i % order == 0:
                 entries.append((t, "inter"))
@@ -129,7 +151,9 @@ def interleave_plan(
     if not entries:
         raise ValueError("interleave plan deleted every step")
 
-    ts_exec = np.asarray([t for t, _ in entries], dtype=np.int64)
+    ts_exec = np.asarray(
+        [t for t, _ in entries], dtype=np.float64 if is_flow else np.int64
+    )
     owners = [o for _, o in entries]
     rows: List[StepRow] = [None] * len(entries)  # type: ignore[list-item]
 

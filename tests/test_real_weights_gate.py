@@ -119,3 +119,33 @@ def test_clip_score_gate(real_pipe):
         f"CLIP {score:.3f} below the 0.5% gate vs expected {expected:.3f} "
         "(set SDBL_SD15_EXPECTED_CLIP to the measured HF-diffusers value)"
     )
+
+
+def test_quality_frontier_one_command():
+    """The full speed-vs-quality frontier (quality_frontier.py): exact +
+    every approximate mode (ToMe {0.25,0.5}, int8_conv_only, DeepCache
+    {2,3,5}, turbo, max-stack — plus SD3 trunk-delta {2,3} when
+    SDBL_SD3_SNAPSHOT is set), CLIP-scored, in one command:
+
+        sdbl-frontier --sd15 $SDBL_SD15_SNAPSHOT --clip $SDBL_CLIP_SNAPSHOT
+
+    This executes a reduced run (8 prompts) to keep the gate fast; the
+    shipped protocol default is 100 prompts (reference: 1000)."""
+    from sonicdiffusionbayeslab_tpu.quality_frontier import main
+
+    out = Path("outputs/test_frontier")
+    argv = ["--sd15", SNAPSHOT, "--prompts", "8", "--batch", "4",
+            "--out", str(out)]
+    if CLIP_SNAPSHOT:
+        argv += ["--clip", CLIP_SNAPSHOT]
+    if os.environ.get("SDBL_SD3_SNAPSHOT"):
+        argv += ["--sd3", os.environ["SDBL_SD3_SNAPSHOT"]]
+    assert main(argv) == 0
+    rows = [json.loads(l) for l in (out.with_suffix(".jsonl")).read_text().splitlines()]
+    labels = {r["mode"] for r in rows}
+    assert {"exact_bf16", "tome_0.5", "int8_conv_only", "deep_cache_3",
+            "max_stack(turbo+dc3)"} <= labels
+    exact = next(r for r in rows if r["mode"] == "exact_bf16")
+    assert exact["sec_per_image"] > 0
+    if CLIP_SNAPSHOT:
+        assert all(r["clip_score"] is not None for r in rows)
