@@ -80,15 +80,22 @@ def _xla_spills_scores(q, k) -> bool:
     """Predicate for the 'tiered' backend: dispatch Pallas only where XLA
     materializes fp32 [B,H,N,M] scores to HBM.
 
-    Measured on v5e (docs/PERF.md per-op breakdown): at N=M=4096 XLA emits a
-    single flash-like kOutput fusion at ~82% of the D=40 MXU ceiling — hard
-    to beat; at N=M=1024 (and 256) it splits the attention into two
-    HBM-bandwidth-bound fusions around an fp32 score tensor (0.5 GB at the
-    hero shape), which the flash kernel avoids entirely.  The same spill
-    shows up at ToMe's merged shapes (e.g. N=3072 after ratio-0.25 merging
-    of the 4096 grid: a 4.8 GB score tensor that fits HBM, so XLA
-    materializes it) — hence "everything below 4096" rather than a
-    power-of-two list.  Cross-attention (M=77) is too small to matter
-    either way."""
+    Measured on v5e (docs/PERF.md per-op breakdowns): the ONLY shape where
+    XLA emits its flash-like single kOutput fusion (82% of the D=40 MXU
+    ceiling — hard to beat) is the exact N=M=4096 self-attention tier.
+    Everything else spills fp32 scores and runs HBM-bound:
+
+    * N=M=1024/256 (UNet lower levels): two fusions around a 0.5 GB score
+      tensor;
+    * ToMe's merged shapes (N=3072/2048): 4.8/2.1 GB score tensors;
+    * the MMDiT joint sequence N=M≈4250 (SD3 @1024px): a 3.5 GB score
+      tensor per block-chunk — profiled at 0.1 TFLOP/s / 646 GB/s, 56% of
+      the SD3 loop's device time (round-4 trace, docs/PERF.md).
+
+    Hence "spills unless exactly 4096": a positive list of the one measured
+    non-spilling shape, not a threshold.  Cross-attention (M=77) is too
+    small to matter either way.  Shapes whose full-K/V block exceeds the
+    kernel's VMEM budget (e.g. a hypothetical N=16k) fall back to XLA via
+    ``fits_vmem`` in the caller."""
     N, M = q.shape[1], k.shape[1]
-    return M >= 128 and N < 4096
+    return M >= 128 and not (N == 4096 and M == 4096)

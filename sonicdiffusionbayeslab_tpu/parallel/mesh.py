@@ -95,6 +95,16 @@ _TP_RULES: Dict[str, P] = {
     # rule above; 'ff_context' needs its own — '.*/ff/' does not match it).
     r".*/ff_context/proj_in/kernel$": P(None, "model"),
     r".*/ff_context/proj_out/kernel$": P("model", None),
+    # T5 encoder (SD3 triple-tower, models/t5.py): head-split q/k/v (d_kv=64
+    # divides evenly for any model-axis size that divides num_heads=64) and
+    # hidden-split gated-GELU FF.  T5-XXL is ~9.4 GB bf16 — TP over 'model'
+    # is the multi-chip path for `use_t5: true` (docs/MODELS.md); the
+    # relative-position bias embedding stays replicated (tiny) and GSPMD
+    # reshards it into the head-sharded score einsum.
+    r".*/attn/(q|k|v)/kernel$": P(None, "model"),
+    r".*/attn/o/kernel$": P("model", None),
+    r".*/(wi_0|wi_1)/kernel$": P(None, "model"),
+    r".*/wo/kernel$": P("model", None),
 }
 
 

@@ -428,6 +428,34 @@ def test_sd3_pipeline_rejects_unet_only_features():
             pretrained_model="x", tiny=True, ip_adapter="foo.bin")
 
 
+def test_t5_tp_matches_replicated():
+    """2-way tensor-parallel T5 encode (head-split q/k/v, hidden-split gated
+    FF — parallel/mesh.py T5 rules) == replicated, GSPMD collectives only.
+    This is the multi-chip path for `use_t5: true` at T5-XXL scale (~9.4 GB
+    bf16 won't replicate next to the 2B MMDiT on one chip)."""
+    from sonicdiffusionbayeslab_tpu.models.t5 import T5Config, T5Encoder
+    from sonicdiffusionbayeslab_tpu.parallel import make_mesh, shard_batch, shard_params
+
+    cfg = T5Config.tiny()
+    enc = T5Encoder(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    ids = np.random.default_rng(0).integers(0, cfg.vocab_size, (4, cfg.max_length))
+    ids = jnp.asarray(ids, jnp.int32)
+    p = enc.init(jax.random.PRNGKey(0), ids)["params"]
+    ref = enc.apply({"params": p}, ids)["last_hidden_state"]
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    with mesh:
+        ps = shard_params(p, mesh)
+        # The TP rules must actually split the big kernels (not silently
+        # replicate): check one of each family.
+        specs = jax.tree_util.tree_map(lambda a: a.sharding.spec, ps)
+        assert specs["block_0"]["attn"]["q"]["kernel"] == jax.sharding.PartitionSpec(None, "model")
+        assert specs["block_0"]["wo"]["kernel"] == jax.sharding.PartitionSpec("model", None)
+        ids_s = shard_batch(mesh, ids)
+        out = jax.jit(lambda p, i: enc.apply({"params": p}, i)["last_hidden_state"])(ps, ids_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
 def test_sd3_sample_on_mesh(engine, params):
     """8-way data-parallel sampling == single device (same seeds)."""
     from sonicdiffusionbayeslab_tpu.parallel import make_mesh, shard_params
