@@ -528,7 +528,8 @@ class StableDiffusion3Model(StableDiffusionXLModel):
     """
 
     def __init__(self, pretrained_model: str = "stabilityai/stable-diffusion-3-medium",
-                 image_size: int = 1024, use_t5: bool = False, **kw):
+                 image_size: int = 1024, use_t5: bool = False,
+                 t5_staged: object = "auto", **kw):
         if kw.get("prompt_weighting"):
             raise NotImplementedError(
                 "prompt weighting is not wired for SD3's padded dual-tower "
@@ -536,8 +537,32 @@ class StableDiffusion3Model(StableDiffusionXLModel):
         if kw.get("ip_adapter"):
             raise NotImplementedError("IP-Adapter is a UNet-family feature")
         self._use_t5 = bool(use_t5)  # read by _make_engine (runs in super())
+        self._t5_staged_opt = t5_staged  # read by _load_params (runs in super())
+        self._t5_host = None  # host-resident T5 params when staging
+        self._t5_dev = None  # live device copy during the encode phase
         super().__init__(pretrained_model=pretrained_model,
                          image_size=image_size, **kw)
+
+    def _t5_staged_active(self) -> bool:
+        """Single-chip memory strategy for ``use_t5: true`` (docs/MODELS.md):
+        T5-XXL is ~9.5 GB bf16 next to the ~4.1 GB MMDiT + 1.7 GB dual CLIP
+        + VAE — all-resident is over the 15.75 GB v5e HBM before a single
+        activation.  But the T5 encode is a one-shot phase per batch, so
+        staged mode keeps T5 params in host RAM, transfers them for the
+        encode, and frees the device copy before the denoising loop starts
+        (``_extra_sample_kwargs``).  Encode-phase residency: T5 + CLIPs
+        ~11.2 GB; sample-phase: MMDiT + VAE ~4.3 GB — both fit.  On a mesh
+        the TP rules shard T5 over 'model' instead (parallel/mesh.py)."""
+        if not self._use_t5:
+            return False
+        opt = self._t5_staged_opt
+        if opt in (False, "false", "off", "resident"):
+            return False
+        if self.mesh is not None:
+            return False  # multi-chip: TP-resident via shard_params
+        if opt in (True, "true", "staged"):
+            return True
+        return not self.tiny  # "auto": real geometry on a single chip
 
     def _make_engine(self, dt, tiny: bool):
         from sonicdiffusionbayeslab_tpu.models.mmdit import MMDiTConfig
@@ -568,27 +593,65 @@ class StableDiffusion3Model(StableDiffusionXLModel):
             )
 
     def _load_params(self, pretrained_model: str, seed: int) -> Dict[str, Any]:
+        staged = self._t5_staged_active()
         p = Path(pretrained_model)
         if p.exists():
             flax_ckpt = p / "flax_params"
             if flax_ckpt.exists():
                 from sonicdiffusionbayeslab_tpu.models.weights import load_params
 
-                return load_params(flax_ckpt)
-            from sonicdiffusionbayeslab_tpu.models.weights import load_sd3_checkpoint
+                params = load_params(flax_ckpt)
+            else:
+                from sonicdiffusionbayeslab_tpu.models.weights import (
+                    load_sd3_checkpoint,
+                )
 
-            return load_sd3_checkpoint(p, self.engine)
+                params = load_sd3_checkpoint(p, self.engine)
+            if staged and "t5" in params:
+                params = dict(params)
+                # Checkpoint loaders return host numpy — keep the T5
+                # subtree there; everything else lands on device lazily.
+                self._t5_host = jax.device_get(params.pop("t5"))
+            return params
+        if staged:
+            params = self.engine.init_params(seed=seed, latent_hw=self.latent_hw,
+                                             skip_t5=True)
+            # Random-init the 4.7B tower on the host CPU backend — an
+            # on-device init would claim the HBM staging exists to avoid.
+            with jax.default_device(jax.devices("cpu")[0]):
+                self._t5_host = jax.device_get(self.engine.init_t5_params(seed))
+            return params
         return self.engine.init_params(seed=seed, latent_hw=self.latent_hw)
 
     def _encode(self, prompts: Sequence[str]) -> jax.Array:
         ids1 = self.tokenizer(list(prompts))
         ids2 = self.tokenizer2(list(prompts))
         ids3 = self.tokenizer3(list(prompts)) if self.tokenizer3 is not None else None
-        ctx, pooled = self.engine.encode_prompts_sd3(self.params, ids1, ids2, ids3)
+        params = self.params
+        if ids3 is not None and self._t5_host is not None:
+            if self._t5_dev is None:
+                self._t5_dev = jax.device_put(self._t5_host)
+            params = {**params, "t5": self._t5_dev}
+        ctx, pooled = self.engine.encode_prompts_sd3(params, ids1, ids2, ids3)
         self._pooled_queue.append(pooled)
         return ctx
 
+    def _release_t5(self) -> None:
+        """Free the staged T5 device copy before sampling claims HBM.
+
+        The pooled embeds are outputs of the same jit as the context, so
+        blocking on them guarantees every in-flight use of the T5 buffers
+        has retired before ``delete()``."""
+        if self._t5_dev is None:
+            return
+        for pooled in self._pooled_queue:
+            pooled.block_until_ready()
+        for leaf in jax.tree_util.tree_leaves(self._t5_dev):
+            leaf.delete()
+        self._t5_dev = None
+
     def _extra_sample_kwargs(self, batch: int, lat_hw) -> Dict[str, Any]:
+        self._release_t5()
         queue, self._pooled_queue = self._pooled_queue, []
         # time_ids is engine plumbing only (the microbatch chunker expects
         # the key); MMDiT carries no crop/size micro-conditioning and

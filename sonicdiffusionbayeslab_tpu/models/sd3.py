@@ -81,7 +81,8 @@ class SD3Engine(StableDiffusionEngine):
             self.t5 = T5Encoder(self.t5_config, dtype=dtype, param_dtype=param_dtype)
 
     # ------------------------------------------------------------- params
-    def init_params(self, seed: int = 0, latent_hw: int = 128) -> Dict[str, Any]:
+    def init_params(self, seed: int = 0, latent_hw: int = 128,
+                    skip_t5: bool = False) -> Dict[str, Any]:
         cfg = self.unet_config
         k1, k2, k3, k4, k5, k6 = jax.random.split(jax.random.PRNGKey(seed), 6)
         lat = jnp.zeros((1, latent_hw, latent_hw, cfg.in_channels))
@@ -99,10 +100,18 @@ class SD3Engine(StableDiffusionEngine):
             "text_proj": {"kernel": jax.random.normal(k5, (h1, h1), jnp.float32) * h1**-0.5},
             "text2_proj": {"kernel": jax.random.normal(k6, (h2, h2), jnp.float32) * h2**-0.5},
         }
-        if self.t5 is not None:
-            ids3 = jnp.zeros((1, self.t5_config.max_length), jnp.int32)
-            out["t5"] = self.t5.init(jax.random.fold_in(k1, 3), ids3)["params"]
+        if self.t5 is not None and not skip_t5:
+            out["t5"] = self.init_t5_params(seed)
         return out
+
+    def init_t5_params(self, seed: int = 0) -> Dict[str, Any]:
+        """The T5 subtree of :meth:`init_params`, alone (same key
+        derivation, so staged == resident for random weights).  Callers
+        staging T5 off-chip run this under ``jax.default_device(cpu)`` —
+        T5-XXL is ~9.5 GB bf16 and must not claim HBM the MMDiT needs."""
+        k1 = jax.random.split(jax.random.PRNGKey(seed), 6)[0]
+        ids3 = jnp.zeros((1, self.t5_config.max_length), jnp.int32)
+        return self.t5.init(jax.random.fold_in(k1, 3), ids3)["params"]
 
     # ------------------------------------------------------------- encode
     @functools.cached_property

@@ -438,7 +438,15 @@ def load_sd_checkpoint(snapshot_dir: str | Path, engine, dtype=np.float32) -> di
     """diffusers-layout snapshot dir -> full {unet, vae, text} param tree,
     shaped/validated against ``engine``'s randomly-initialized tree."""
     snapshot_dir = Path(snapshot_dir)
-    ref = engine.init_params(seed=0)
+    # Shape-only init: only key NAMES are consumed below, and a real init
+    # would materialize the whole tree on device (for SD3's use_t5 path,
+    # T5-XXL alone is ~9.5 GB — the staged-T5 single-chip mode cannot
+    # afford a throwaway device copy).
+    import functools
+
+    import jax
+
+    ref = jax.eval_shape(functools.partial(engine.init_params, seed=0))
 
     def find(sub):
         d = snapshot_dir / sub
@@ -548,7 +556,15 @@ def load_sd3_checkpoint(snapshot_dir: str | Path, engine, dtype=np.float32) -> d
     ``use_t5=True`` — the default engine runs the CLIP-only drop-T5
     conditioning mode and skips the 4.7B tower entirely."""
     snapshot_dir = Path(snapshot_dir)
-    ref = engine.init_params(seed=0)
+    # Shape-only init: only key NAMES are consumed below, and a real init
+    # would materialize the whole tree on device (for SD3's use_t5 path,
+    # T5-XXL alone is ~9.5 GB — the staged-T5 single-chip mode cannot
+    # afford a throwaway device copy).
+    import functools
+
+    import jax
+
+    ref = jax.eval_shape(functools.partial(engine.init_params, seed=0))
 
     def find(sub):
         d = snapshot_dir / sub
@@ -595,7 +611,15 @@ def load_sdxl_checkpoint(snapshot_dir: str | Path, engine, dtype=np.float32) -> 
     text_encoder = CLIP ViT-L, text_encoder_2 = OpenCLIP bigG with
     ``text_projection`` (CLIPTextModelWithProjection layout)."""
     snapshot_dir = Path(snapshot_dir)
-    ref = engine.init_params(seed=0)
+    # Shape-only init: only key NAMES are consumed below, and a real init
+    # would materialize the whole tree on device (for SD3's use_t5 path,
+    # T5-XXL alone is ~9.5 GB — the staged-T5 single-chip mode cannot
+    # afford a throwaway device copy).
+    import functools
+
+    import jax
+
+    ref = jax.eval_shape(functools.partial(engine.init_params, seed=0))
 
     def find(sub):
         d = snapshot_dir / sub

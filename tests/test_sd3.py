@@ -541,3 +541,50 @@ def test_sd3_pipeline_use_t5_e2e():
     pipe.scheduler = FlowMatchEulerScheduler(shift=3.0)
     imgs, t, _ = pipe(["a cat"], num_inference_steps=2, guidance_scale=5.0)
     assert imgs.shape == (1, 16, 16, 3)
+
+
+def test_sd3_t5_staged_matches_resident():
+    """Staged T5 (host-resident params, transfer -> encode -> free before
+    the denoise loop) is bit-identical to the all-resident path — same key
+    derivation in engine.init_t5_params, same encode jit.  The real-
+    geometry motivation is docs/MODELS.md: T5-XXL (~9.5 GB bf16) + MMDiT +
+    dual CLIP exceed one v5e's 15.75 GB HBM resident, but encode-phase
+    (T5 + CLIPs) and sample-phase (MMDiT + VAE) each fit alone."""
+    from sonicdiffusionbayeslab_tpu.registry import load_all_plugins, models_registry
+
+    load_all_plugins()
+
+    def mk(staged):
+        return models_registry["stable_diffusion_3_model"](
+            pretrained_model="x", tiny=True, image_size=64, dtype="float32",
+            use_t5=True, t5_staged=staged, seed=7)
+
+    resident, staged = mk(False), mk(True)
+    assert "t5" in resident.params
+    assert "t5" not in staged.params and staged._t5_host is not None
+    for pipe in (resident, staged):
+        pipe.scheduler = FlowMatchEulerScheduler(shift=3.0)
+    img_r, _, _ = resident(["a cat"], num_inference_steps=2, guidance_scale=5.0)
+    img_s, _, _ = staged(["a cat"], num_inference_steps=2, guidance_scale=5.0)
+    np.testing.assert_array_equal(np.asarray(img_r), np.asarray(img_s))
+    # The device copy was freed before sampling; the next call re-stages.
+    assert staged._t5_dev is None
+    img_s2, _, _ = staged(["a dog"], num_inference_steps=2, guidance_scale=5.0)
+    assert staged._t5_dev is None and img_s2.shape == img_s.shape
+
+
+def test_sd3_t5_staged_auto_resolution():
+    """`t5_staged: auto` stages at real geometry on a single chip, stays
+    resident in tiny mode and whenever a mesh is present (TP rules own the
+    multi-chip layout, parallel/mesh.py)."""
+    from sonicdiffusionbayeslab_tpu.registry import load_all_plugins, models_registry
+
+    load_all_plugins()
+    tiny_auto = models_registry["stable_diffusion_3_model"](
+        pretrained_model="x", tiny=True, image_size=64, dtype="float32",
+        use_t5=True)
+    assert "t5" in tiny_auto.params and tiny_auto._t5_host is None
+    meshed = models_registry["stable_diffusion_3_model"](
+        pretrained_model="x", tiny=True, image_size=64, dtype="float32",
+        use_t5=True, t5_staged=True, mesh_data=len(jax.devices()))
+    assert "t5" in meshed.params and meshed._t5_host is None
