@@ -51,6 +51,12 @@ class LCMDistillConfig:
     timestep_scaling: float = 10.0
     sigma_data: float = 0.5
     huber_c: float = 0.001
+    # Donate the TrainState into the jitted step (in-place update of the
+    # 5 param-sized full-student trees instead of double-buffering them).
+    # Old states are invalid after a step on TPU/GPU — reassign
+    # `state = distill_step(state, ...)`; set False to re-step from a
+    # retained state (probing/debug).
+    donate: bool = True
     ema_decay: float = 0.95  # target-network EMA
     # Student parameterization: LoRA rank (0 = full UNet copy).
     lora_rank: int = 64
@@ -124,7 +130,10 @@ class LCMDistiller:
                 key = jax.random.PRNGKey(0)
             trainable = init_lora(params["unet"], cfg.lora_rank, key, cfg.lora_targets)
         else:
-            trainable = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params["unet"])
+            # Real copy, never an alias of the caller's tree (see
+            # trainer._f32_copy — donation safety).
+            trainable = jax.tree.map(
+                lambda x: jnp.array(x, jnp.float32, copy=True), params["unet"])
             if self.w_conditioned:
                 # Teacher weights + a ZERO-init cond_proj: step 0 matches the
                 # teacher for every w.
@@ -265,6 +274,11 @@ class LCMDistiller:
                 {"loss": loss, "grad_norm": gnorm},
             )
 
+        # State donated by default: the full-student mode carries an fp32
+        # master + EMA + Adam moments (5 param-sized trees); in-place update
+        # instead of double-buffering.
+        if cfg.donate:
+            return jax.jit(distill_step, donate_argnums=(0,))
         return jax.jit(distill_step)
 
     @property

@@ -32,6 +32,13 @@ from sonicdiffusionbayeslab_tpu.schedulers.schedule import NoiseSchedule, Schedu
 from sonicdiffusionbayeslab_tpu.training.lora import DEFAULT_TARGETS, apply_lora, init_lora
 
 
+def _f32_copy(x):
+    """fp32 master copy that never aliases the source (jnp.asarray on an
+    already-fp32 array is a no-op alias — with donate=True the step would
+    then delete the caller's params tree out from under them)."""
+    return jnp.array(x, jnp.float32, copy=True)
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     learning_rate: float = 1e-4
@@ -67,6 +74,17 @@ class TrainConfig:
     # for the activation memory that otherwise blocks full-UNet fine-tuning
     # at 512px (VERDICT r2 #7).
     remat: bool = False
+    # Optimizer: "adamw" (reference-standard) or "adafactor" (factored
+    # second moments, no first moment — cuts optimizer state from 2x fp32
+    # param trees to ~sqrt-sized row/col stats; the standard single-chip
+    # answer when full-model Adam state doesn't fit HBM).
+    optimizer: str = "adamw"
+    # Donate the TrainState into the jitted step so XLA updates
+    # trainable/opt_state/ema in place instead of double-buffering them
+    # (~10 GB at SD-1.5 full-UNet scale).  The old state is invalid after
+    # train_step on TPU/GPU — always reassign `state = train_step(state,..)`
+    # (the documented contract).  No-op on CPU.
+    donate: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -122,13 +140,24 @@ class DiffusionTrainer:
         chain = []
         if cfg.max_grad_norm and cfg.max_grad_norm > 0:
             chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
-        chain.append(
-            optax.adamw(
-                lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
-                weight_decay=cfg.weight_decay,
+        if cfg.optimizer == "adafactor":
+            # Factored stats, momentum off: optimizer state is O(rows+cols)
+            # per kernel instead of 2 full fp32 trees.
+            chain.append(
+                optax.adafactor(
+                    learning_rate=lr, weight_decay_rate=cfg.weight_decay or None,
+                )
             )
-        )
-        return optax.chain(*chain)
+        elif cfg.optimizer == "adamw":
+            chain.append(
+                optax.adamw(
+                    lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
+                    weight_decay=cfg.weight_decay,
+                )
+            )
+        else:
+            raise ValueError(f"unknown optimizer {cfg.optimizer!r} (adamw|adafactor)")
+        return chain[0] if len(chain) == 1 else optax.chain(*chain)
 
     # ----------------------------------------------------------- state
     def init_state(
@@ -150,9 +179,9 @@ class DiffusionTrainer:
             trainable = init_lora(params["unet"], cfg.lora_rank, key, cfg.lora_targets)
         elif self.target == "controlnet":
             src = controlnet_params or self.engine.init_controlnet_params(seed=0)
-            trainable = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), src)
+            trainable = jax.tree.map(_f32_copy, src)
         else:
-            trainable = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params["unet"])
+            trainable = jax.tree.map(_f32_copy, params["unet"])
         ema = jax.tree.map(jnp.copy, trainable) if cfg.ema_decay else None
         return TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -267,6 +296,10 @@ class DiffusionTrainer:
             )
             return new_state, {"loss": loss, "grad_norm": gnorm}
 
+        if cfg.donate:
+            # In-place state update: old trainable/opt_state/ema buffers are
+            # reused for the new state (TrainState is arg 0).
+            return jax.jit(train_step, donate_argnums=(0,))
         return jax.jit(train_step)
 
     @property

@@ -71,7 +71,8 @@ def test_distill_loss_improves_and_teacher_frozen(engine, params, batch):
     lat, ctx, unc = batch
     dist = LCMDistiller(
         engine,
-        LCMDistillConfig(learning_rate=1e-3, lora_rank=4, original_inference_steps=10),
+        LCMDistillConfig(learning_rate=1e-3, lora_rank=4, original_inference_steps=10,
+                         donate=False),
     )
     st0 = dist.init_state(params, key=jax.random.PRNGKey(7))
     teacher_before = W.flatten(jax.tree.map(np.asarray, params["unet"]))
@@ -158,7 +159,7 @@ def test_wconditioned_distillation(engine, params, batch):
     dist = LCMDistiller(
         engine,
         LCMDistillConfig(learning_rate=1e-4, lora_rank=0,
-                         original_inference_steps=10,
+                         original_inference_steps=10, donate=False,
                          w_min=2.0, w_max=10.0, student_time_cond_proj_dim=8),
     )
     st0 = dist.init_state(params)

@@ -56,6 +56,40 @@ def test_full_finetune_loss_decreases(engine, params, batch):
     assert all(np.isfinite(l) for l in losses)
 
 
+def test_full_finetune_adafactor(engine, params, batch):
+    """Adafactor option: loss decreases, and the factored optimizer state
+    carries no full-sized first-moment tree (the memory claim it exists
+    for — docs/TRAINING.md single-chip full fine-tune)."""
+    lat, ctx = batch
+    tr = DiffusionTrainer(
+        engine, TrainConfig(learning_rate=1e-3, optimizer="adafactor"))
+    st = tr.init_state(params)
+    n_param = sum(x.size for x in jax.tree.leaves(st.trainable))
+    n_opt = sum(x.size for x in jax.tree.leaves(st.opt_state)
+                if hasattr(x, "size"))
+    assert n_opt < n_param  # factored stats, not 2 full Adam trees
+    losses = []
+    for _ in range(8):
+        st, m = tr.train_step(st, params, lat, ctx, jax.random.PRNGKey(42))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_donate_flag_off_keeps_old_state_usable(engine, params, batch):
+    """donate=False must let a caller re-step from an old state (CPU is a
+    donation no-op either way; this pins the opt-out API)."""
+    lat, ctx = batch
+    tr = DiffusionTrainer(engine, TrainConfig(learning_rate=1e-3, donate=False))
+    st0 = tr.init_state(params)
+    st1, m1 = tr.train_step(st0, params, lat, ctx, jax.random.PRNGKey(0))
+    st1b, m1b = tr.train_step(st0, params, lat, ctx, jax.random.PRNGKey(0))
+    assert float(m1["loss"]) == float(m1b["loss"])
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(st1.trainable)[0]),
+        np.asarray(jax.tree.leaves(st1b.trainable)[0]))
+
+
 def test_lora_loss_decreases_and_base_frozen(engine, params, batch):
     lat, ctx = batch
     tr = DiffusionTrainer(engine, TrainConfig(learning_rate=1e-2, lora_rank=4))
@@ -117,7 +151,8 @@ def test_lora_peft_export_round_trip(engine, params, batch):
 
 def test_ema_shadow_math(engine, params, batch):
     lat, ctx = batch
-    tr = DiffusionTrainer(engine, TrainConfig(learning_rate=1e-3, ema_decay=0.9))
+    tr = DiffusionTrainer(
+        engine, TrainConfig(learning_rate=1e-3, ema_decay=0.9, donate=False))
     st0 = tr.init_state(params)
     st1, _ = tr.train_step(st0, params, lat, ctx, jax.random.PRNGKey(0))
     k = "conv_in/kernel"
@@ -150,7 +185,8 @@ def test_vpred_and_snr_weighting_differ(engine, params, batch):
 
 def test_grad_clip_bounds_update(engine, params, batch):
     lat, ctx = batch
-    tr = DiffusionTrainer(engine, TrainConfig(learning_rate=1e-3, max_grad_norm=1e-8))
+    tr = DiffusionTrainer(
+        engine, TrainConfig(learning_rate=1e-3, max_grad_norm=1e-8, donate=False))
     st0 = tr.init_state(params)
     st1, m = tr.train_step(st0, params, lat, ctx, jax.random.PRNGKey(0))
     # With the norm clipped to ~0 the params barely move.
@@ -400,7 +436,8 @@ def _loss_at_step0(tr, st, params, lat, ctx, added, key):
 def test_sd3_flow_full_finetune_loss_decreases(sd3_engine, sd3_params, sd3_batch):
     lat, ctx, added = sd3_batch
     key = jax.random.PRNGKey(42)
-    tr = DiffusionTrainer(sd3_engine, TrainConfig(objective="flow", learning_rate=1e-3))
+    tr = DiffusionTrainer(
+        sd3_engine, TrainConfig(objective="flow", learning_rate=1e-3, donate=False))
     st = tr.init_state(sd3_params)
     before = _loss_at_step0(tr, st, sd3_params, lat, ctx, added, key)
     losses = []
@@ -419,7 +456,7 @@ def test_sd3_lora_flow_covers_both_attention_streams(sd3_engine, sd3_params, sd3
     tr = DiffusionTrainer(
         sd3_engine,
         TrainConfig(objective="flow", learning_rate=1e-2, lora_rank=2,
-                    lora_targets=MMDIT_TARGETS),
+                    lora_targets=MMDIT_TARGETS, donate=False),
     )
     st = tr.init_state(sd3_params, key=jax.random.PRNGKey(0))
     flat = {"/".join(str(k) for k in p): None
