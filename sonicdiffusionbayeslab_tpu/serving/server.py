@@ -168,6 +168,34 @@ def main() -> None:
     pipe.scheduler = schedulers_registry[sname](**skw)
     if skw:
         print(f"scheduler kwargs from experiment_params: {skw}")
+    # Acceleration knobs flow from the SAME config keys as the experiment
+    # path, so a turbo/deep_cache YAML serves the stack it benchmarks:
+    # inference.quant / inference.unet_microbatch (experiments/base.py:73,
+    # sampler microbatch), experiment_params.tome_ratio (TomeMethod), and
+    # experiment_params.cache_interval/cache_branch_id (DeepCacheMethod —
+    # scalar here: serving runs ONE operating point, not a sweep).
+    inf = cfg.get("inference", {}) or {}
+    if inf.get("quant") is not None:
+        from sonicdiffusionbayeslab_tpu.ops.quant import set_quant_mode
+
+        set_quant_mode(str(inf["quant"]).lower() or None)
+        print(f"quant mode: {inf['quant']}")
+    if inf.get("unet_microbatch") is not None:
+        pipe.unet_microbatch = int(inf["unet_microbatch"])
+    if ep.get("tome_ratio") is not None:
+        pipe.tome_ratio = float(ep["tome_ratio"])
+        print(f"token merging: ratio {pipe.tome_ratio}")
+    ci = ep.get("cache_interval")
+    if ci is not None:
+        if isinstance(ci, (list, tuple)):
+            raise SystemExit(
+                "serving needs a scalar experiment_params.cache_interval "
+                f"(one operating point), got sweep {ci!r}")
+        from sonicdiffusionbayeslab_tpu.models.sampler import CachePlan
+
+        interval, branch = int(ci), int(ep.get("cache_branch_id", 0))
+        pipe.cache_plan_fn = lambda n: CachePlan.every(n, interval, branch)
+        print(f"deep cache: interval {interval}, branch {branch}")
     print(f"serving {name} ({sname}) on http://{args.host}:{args.port}")
     serve(pipe, name, args.host, args.port, args.max_batch, args.max_wait_ms,
           args.pipeline_depth)

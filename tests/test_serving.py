@@ -442,3 +442,75 @@ def test_serving_sd3_family_end_to_end():
         np.testing.assert_array_equal(a["image"], b["image"])
     finally:
         s.shutdown()
+
+
+def test_serve_main_applies_acceleration_knobs(tmp_path, monkeypatch):
+    """`sdbl-serve --config turbo-like.yaml` must serve the SAME stack the
+    experiment path benchmarks: inference.quant / unet_microbatch,
+    experiment_params.tome_ratio, and a scalar cache_interval all land on
+    the pipeline before the worker starts (serving/server.py::main)."""
+    import yaml
+
+    from sonicdiffusionbayeslab_tpu.ops import quant as quant_mod
+    from sonicdiffusionbayeslab_tpu.serving import server as server_mod
+
+    cfg = {
+        "experiment_name": "serve knobs",
+        "experiment": {"method": "tome", "seed": 1},
+        "model": {"model_name": "stable_diffusion_model",
+                  "pretrained_model": "x", "tiny": True, "image_size": 64,
+                  "dtype": "float32"},
+        "scheduler": {"scheduler_name": "dpm_solver_scheduler"},
+        "dataset": {"img_dataset": ".", "prompts": ".", "image_size": 64},
+        "logger": {"wandb_enable": False, "save": False, "save_dir": "."},
+        "inference": {"batch_size": 4, "quant": "int8_conv_only",
+                      "unet_microbatch": 2},
+        "experiment_params": {"tome_ratio": 0.5, "solver_order": 2,
+                              "cache_interval": 3, "cache_branch_id": 1},
+    }
+    p = tmp_path / "turbo.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+
+    captured = {}
+
+    def fake_serve(pipe, name, *a, **kw):
+        captured["pipe"] = pipe
+        captured["quant"] = quant_mod.get_quant_mode()
+
+    monkeypatch.setattr(server_mod, "serve", fake_serve)
+    monkeypatch.setattr("sys.argv", ["sdbl-serve", "--config", str(p)])
+    try:
+        server_mod.main()
+    finally:
+        quant_mod.set_quant_mode(None)
+    pipe = captured["pipe"]
+    assert captured["quant"] == "int8_conv_only"
+    assert pipe.unet_microbatch == 2
+    assert pipe.tome_ratio == 0.5
+    plan = pipe.cache_plan_fn(6)
+    assert plan is not None  # interval-3 CachePlan over 6 steps
+    assert pipe.scheduler.solver_order == 2
+
+
+def test_serve_main_rejects_cache_sweep(tmp_path, monkeypatch):
+    """A sweep-valued cache_interval is an experiment, not a serving point."""
+    import yaml
+
+    from sonicdiffusionbayeslab_tpu.serving import server as server_mod
+
+    cfg = {
+        "experiment_name": "bad", "experiment": {"method": "deep_cache", "seed": 1},
+        "model": {"model_name": "stable_diffusion_model",
+                  "pretrained_model": "x", "tiny": True, "image_size": 64,
+                  "dtype": "float32"},
+        "scheduler": {"scheduler_name": "dpm_solver_scheduler"},
+        "dataset": {"img_dataset": ".", "prompts": ".", "image_size": 64},
+        "logger": {"wandb_enable": False, "save": False, "save_dir": "."},
+        "inference": {"batch_size": 4},
+        "experiment_params": {"cache_interval": [2, 3, 5]},
+    }
+    p = tmp_path / "sweep.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    monkeypatch.setattr("sys.argv", ["sdbl-serve", "--config", str(p)])
+    with pytest.raises(SystemExit, match="scalar"):
+        server_mod.main()
