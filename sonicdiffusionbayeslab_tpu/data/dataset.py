@@ -25,7 +25,23 @@ def load_prompts(prompts_file: str | Path) -> Dict[str, str]:
         data = json.load(f)
     if not isinstance(data, dict):
         raise ValueError(f"{prompts_file}: expected filename->caption mapping")
-    return data
+    # Normalize values to plain caption strings AT LOAD TIME — a wrong type
+    # must fail here with the file and key named, not 40 frames deep in the
+    # tokenizer mid-epoch.  The reference format is {filename: "caption"};
+    # the raw COCO annotation form {filename: [{"caption": ...}, ...]} is
+    # common enough in the wild to accept (first caption wins).
+    out: Dict[str, str] = {}
+    for fname, v in data.items():
+        if isinstance(v, list) and v:
+            v = v[0]
+        if isinstance(v, dict):
+            v = v.get("caption")
+        if not isinstance(v, str):
+            raise ValueError(
+                f"{prompts_file}: caption for {fname!r} must be a string "
+                f"(or COCO [{{'caption': ...}}] list), got {type(v).__name__}")
+        out[fname] = v
+    return out
 
 
 class PromptDataset:

@@ -110,3 +110,25 @@ def test_dataset_missing_images_reported(tmp_path, img_dir):
     with pytest.raises(FileNotFoundError, match="missing"):
         ImageDatasetWithPrompts(d, pf2)
     PromptDataset(pf2)  # prompt-only dataset doesn't need the files
+
+
+def test_load_prompts_normalizes_coco_lists(tmp_path):
+    """Caption values normalize to strings AT LOAD TIME: the reference's
+    plain {filename: "caption"} passes through, the raw COCO
+    [{"caption": ...}] form is accepted (first caption wins), and anything
+    else fails here with the key named — not mid-epoch in the tokenizer."""
+    from sonicdiffusionbayeslab_tpu.data.dataset import load_prompts
+
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps({
+        "a.png": "plain caption",
+        "b.png": [{"caption": "first"}, {"caption": "second"}],
+        "c.png": [{"caption": "only"}],
+    }))
+    got = load_prompts(p)
+    assert got == {"a.png": "plain caption", "b.png": "first", "c.png": "only"}
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"a.png": 42}))
+    with pytest.raises(ValueError, match="a.png"):
+        load_prompts(bad)

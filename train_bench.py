@@ -156,7 +156,7 @@ def _prefetch_bench(steps: int):
         f = f"img_{i}.png"
         Image.fromarray(rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)).save(
             img_dir / f)
-        ann[f] = [{"caption": f"a synthetic training image number {i}"}]
+        ann[f] = f"a synthetic training image number {i}"
     (tmp / "ann.json").write_text(json.dumps(ann))
 
     rates = {}
