@@ -74,10 +74,11 @@ class TrainConfig:
     # for the activation memory that otherwise blocks full-UNet fine-tuning
     # at 512px (VERDICT r2 #7).
     remat: bool = False
-    # Optimizer: "adamw" (reference-standard) or "adafactor" (factored
-    # second moments, no first moment — cuts optimizer state from 2x fp32
-    # param trees to ~sqrt-sized row/col stats; the standard single-chip
-    # answer when full-model Adam state doesn't fit HBM).
+    # Optimizer: "adamw" (reference-standard), "adamw8bit" (Adam semantics
+    # with blockwise-int8 moments — ~1/4 the state HBM, training/opt8bit.py),
+    # or "adafactor" (factored second moments, no first moment — the
+    # smallest-state option; changes update semantics).  Measured receipts
+    # for the full-UNet 512px fit question: docs/TRAINING.md.
     optimizer: str = "adamw"
     # Donate the TrainState into the jitted step so XLA updates
     # trainable/opt_state/ema in place instead of double-buffering them
@@ -148,6 +149,19 @@ class DiffusionTrainer:
                     learning_rate=lr, weight_decay_rate=cfg.weight_decay or None,
                 )
             )
+        elif cfg.optimizer == "adamw8bit":
+            # Adam semantics with blockwise-int8 moments (training/
+            # opt8bit.py) — ~1/4 the optimizer-state HBM, the single-chip
+            # answer when fp32 AdamW state doesn't fit but Adafactor's
+            # momentum-free update is unwanted.
+            from sonicdiffusionbayeslab_tpu.training.opt8bit import adamw8bit
+
+            chain.append(
+                adamw8bit(
+                    lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
+                    weight_decay=cfg.weight_decay,
+                )
+            )
         elif cfg.optimizer == "adamw":
             chain.append(
                 optax.adamw(
@@ -156,7 +170,8 @@ class DiffusionTrainer:
                 )
             )
         else:
-            raise ValueError(f"unknown optimizer {cfg.optimizer!r} (adamw|adafactor)")
+            raise ValueError(
+                f"unknown optimizer {cfg.optimizer!r} (adamw|adamw8bit|adafactor)")
         return chain[0] if len(chain) == 1 else optax.chain(*chain)
 
     # ----------------------------------------------------------- state

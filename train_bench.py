@@ -10,6 +10,7 @@ Modes (one JSON line each, bench.py-style):
   python train_bench.py full512          # full-UNet fine-tune, 512px, remat, AdamW
   python train_bench.py full512_noremat  # the OOM control for the remat claim
   python train_bench.py full512_adafactor # factored optimizer state (fits headroom)
+  python train_bench.py full512_adam8bit # blockwise-int8 Adam moments (opt8bit.py)
   python train_bench.py lora512          # LoRA rank-8, 512px
   python train_bench.py sd3_lora         # MMDiT LoRA rank-8, flow objective, 1024px
   python train_bench.py prefetch         # e2e loop it/s, prefetch 2 vs 0 (PNG decode overlap)
@@ -200,7 +201,7 @@ def main():
         _prefetch_bench(steps)
         return
     defaults = {"full512": 8, "full512_noremat": 8, "full512_adafactor": 8,
-                "lora512": 8, "sd3_lora": 2}
+                "full512_adam8bit": 8, "lora512": 8, "sd3_lora": 2}
     batch = int(os.environ.get("SDBL_TRAIN_BATCH", defaults.get(mode, 4)))
     try:
         if mode == "full512":
@@ -210,6 +211,9 @@ def main():
         elif mode == "full512_adafactor":
             sec, comp = _unet_bench(remat=True, lora_rank=0, batch=batch, steps=steps,
                                     optimizer="adafactor")
+        elif mode == "full512_adam8bit":
+            sec, comp = _unet_bench(remat=True, lora_rank=0, batch=batch, steps=steps,
+                                    optimizer="adamw8bit")
         elif mode == "lora512":
             sec, comp = _unet_bench(remat=False, lora_rank=8, batch=batch, steps=steps)
         elif mode == "sd3_lora":
