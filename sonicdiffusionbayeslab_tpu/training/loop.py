@@ -222,6 +222,7 @@ def run_training(config) -> Dict[str, Any]:
     losses: list = []
     step = 0
     t0 = time.perf_counter()
+    t_first = None  # set once step 1's metrics are on host (compile excluded)
     for latents, context, hint, added in stream:
         if mode == "distill":
             state, metrics = trainer.distill_step(state, params, latents, context,
@@ -230,6 +231,9 @@ def run_training(config) -> Dict[str, Any]:
             state, metrics = trainer.train_step(state, params, latents, context, key,
                                                 hint=hint, added=added)
         step += 1
+        if step == 1:
+            float(metrics["loss"])  # force: step 1 (and its compile) is done
+            t_first = time.perf_counter()
         if step % log_every == 0 or step == num_steps:
             loss = float(metrics["loss"])
             losses.append(loss)
@@ -240,7 +244,13 @@ def run_training(config) -> Dict[str, Any]:
             _save(trainer, state, params, engine, Path(save_dir), step)
     if save_dir:
         _save(trainer, state, params, engine, Path(save_dir), step, final=True)
-    return {"losses": losses, "state": state, "trainer": trainer, "params": params}
+    # Steady-state rate: steps 2..N over the window that starts after step
+    # 1's host sync (the first step carries the XLA compile) and ends at the
+    # final logged sync.  The number a capacity plan wants.
+    steady = ((step - 1) / (time.perf_counter() - t_first)
+              if (t_first is not None and step > 1) else None)
+    return {"losses": losses, "state": state, "trainer": trainer, "params": params,
+            "steps_per_sec": steady}
 
 
 def _save(trainer, state, params, engine, save_dir: Path, step: int, final: bool = False):

@@ -161,7 +161,10 @@ def _prefetch_bench(steps: int):
     (tmp / "ann.json").write_text(json.dumps(ann))
 
     rates = {}
-    for depth in (2, 0):
+    # Inline (depth 0) FIRST: it pays the XLA compiles, which the
+    # persistent cache + in-run first-step exclusion then keep out of both
+    # measured windows (run_training's steps_per_sec starts after step 1).
+    for depth in (0, 2):
         cfg = {
             "experiment_name": "train_bench",
             "experiment": {"method": "default", "seed": 29},
@@ -181,13 +184,11 @@ def _prefetch_bench(steps: int):
         import yaml
 
         p.write_text(yaml.safe_dump(cfg))
-        t0 = time.perf_counter()
-        run_training(load_config(str(p)))
-        rates[depth] = steps / (time.perf_counter() - t0)
+        rates[depth] = run_training(load_config(str(p)))["steps_per_sec"]
     print(json.dumps({
         "metric": "train_prefetch_delta",
         "value": round(rates[2] / rates[0], 3),
-        "unit": "x (prefetch 2 vs inline, incl. compile)",
+        "unit": "x (prefetch 2 vs inline, steady-state steps 2..N)",
         "it_s_prefetch2": round(rates[2], 3),
         "it_s_inline": round(rates[0], 3),
         "batch": batch, "steps": steps,
