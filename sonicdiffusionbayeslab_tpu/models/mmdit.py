@@ -182,7 +182,8 @@ class MMDiTBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, img: jax.Array, ctx: jax.Array, c: jax.Array):
+    def __call__(self, img: jax.Array, ctx: jax.Array, c: jax.Array,
+                 tome=None, tome_hw=None, tome_key=None, tome_cache=None):
         cfg = self.config
         H, D = cfg.num_heads, cfg.head_dim
         inner = H * D
@@ -207,6 +208,31 @@ class MMDiTBlock(nn.Module):
         B, N = img.shape[0], img.shape[1]
         T = ctx.shape[1]
 
+        # DiT-ToMe (ops/tome.py, APPROXIMATE): merge the most redundant
+        # IMAGE tokens around the joint attention — q/k/v/o projections and
+        # the (N+T)^2 attention run at N-r image tokens; the text stream is
+        # NEVER merged, so the ToMeSD unmerge stays well-defined (sources
+        # copy their destination's post-attention row; context rows pass
+        # through untouched).  Matching is built on the block INPUT image
+        # stream (the paper's metric choice, same as the UNet hook in
+        # models/layers.py) and shared across blocks via tome_cache.
+        merge = unmerge = None
+        if tome is not None:
+            from sonicdiffusionbayeslab_tpu.ops.tome import (
+                bipartite_soft_matching_2d,
+            )
+
+            if tome.share and tome_cache is not None:
+                for (chh, cww, cb), mu in tome_cache.items():
+                    if (chh, cww) == tome_hw and B % cb == 0:
+                        merge, unmerge = mu
+                        break
+            if merge is None:
+                merge, unmerge = bipartite_soft_matching_2d(
+                    img, tome_hw[0], tome_hw[1], tome, tome_key)
+                if tome.share and tome_cache is not None:
+                    tome_cache[(tome_hw[0], tome_hw[1], B)] = (merge, unmerge)
+
         def heads(x):
             return x.reshape(B, x.shape[1], H, D)
 
@@ -218,18 +244,23 @@ class MMDiTBlock(nn.Module):
             return nn.RMSNorm(epsilon=1e-6, dtype=self.dtype,
                               param_dtype=self.param_dtype, name=name)
 
-        q_i, q_c = heads(dense("to_q")(img_n)), heads(dense("add_q_proj")(ctx_n))
-        k_i, k_c = heads(dense("to_k")(img_n)), heads(dense("add_k_proj")(ctx_n))
+        img_a = merge(img_n) if merge is not None else img_n
+        Nm = img_a.shape[1]
+        q_i, q_c = heads(dense("to_q")(img_a)), heads(dense("add_q_proj")(ctx_n))
+        k_i, k_c = heads(dense("to_k")(img_a)), heads(dense("add_k_proj")(ctx_n))
         if cfg.qk_norm:
             q_i, k_i = rms("norm_q")(q_i), rms("norm_k")(k_i)
             q_c, k_c = rms("norm_added_q")(q_c), rms("norm_added_k")(k_c)
         q = jnp.concatenate([q_i, q_c], axis=1)
         k = jnp.concatenate([k_i, k_c], axis=1)
-        v = jnp.concatenate([heads(dense("to_v")(img_n)), heads(dense("add_v_proj")(ctx_n))], axis=1)
-        o = dot_product_attention(q, k, v).reshape(B, N + T, inner)
-        o_img, o_ctx = o[:, :N], o[:, N:]
+        v = jnp.concatenate([heads(dense("to_v")(img_a)), heads(dense("add_v_proj")(ctx_n))], axis=1)
+        o = dot_product_attention(q, k, v).reshape(B, Nm + T, inner)
+        o_img, o_ctx = o[:, :Nm], o[:, Nm:]
 
-        img = img + i_mod[2][:, None, :] * dense("to_out")(o_img)
+        o_img = dense("to_out")(o_img)
+        if unmerge is not None:
+            o_img = unmerge(o_img)
+        img = img + i_mod[2][:, None, :] * o_img
         img_m = _modulate(ln("norm2_ln")(img), i_mod[3], i_mod[4])
         img = img + i_mod[5][:, None, :] * GELUTanhFeedForward(
             inner, **kw, name="ff")(img_m)
@@ -281,11 +312,6 @@ class MMDiT(nn.Module):
         # not be silently swallowed.
     ) -> jax.Array:
         cfg = self.config
-        if tome is not None:
-            raise NotImplementedError(
-                "Token Merging targets the UNet's spatial self-attention; "
-                "MMDiT's joint attention has no ToMe hook (unmerge through "
-                "the text tokens is undefined)")
         if timestep_cond is not None:
             raise NotImplementedError("MMDiT has no w-embedding conditioning")
         if added_cond is None or "text_embeds" not in added_cond:
@@ -324,6 +350,28 @@ class MMDiT(nn.Module):
                 f"{cfg.joint_attention_dim} (pad as the pipeline does)")
         ctx = nn.Dense(cfg.hidden_size, **kw, name="context_embedder")(ctx)
 
+        # DiT-ToMe (see MMDiTBlock): the patch grid hp x wp is the 2D token
+        # map for the strided destination partition.  One matching per step
+        # (built on block 0's input image stream) shared across all blocks
+        # when tome.share; the per-step key derives from the timestep so it
+        # varies inside the sampling scan without extra plumbing (same
+        # recipe as models/unet.py's hook).
+        if tome is not None and (hp % tome.sy or wp % tome.sx):
+            tome = None  # partition undefined for this patch grid; skip
+        tome_cache = {}
+        tome_step_key = None
+        if tome is not None and tome.rand:
+            tome_step_key = jax.random.fold_in(
+                jax.random.PRNGKey(0x703E), timesteps[0].astype(jnp.int32))
+
+        def tome_kw(i):
+            if tome is None:
+                return {}
+            bkey = (jax.random.fold_in(tome_step_key, i)
+                    if tome_step_key is not None else None)
+            return dict(tome=tome, tome_hw=(hp, wp), tome_key=bkey,
+                        tome_cache=tome_cache)
+
         branch = int(cache_branch_id)
         if (cache is not None or return_cache) and not 0 <= branch < cfg.depth:
             raise ValueError(
@@ -341,14 +389,14 @@ class MMDiT(nn.Module):
             # Cached step: only the shallow blocks run; the deep trunk's
             # recorded residual delta is replayed on top of their output.
             for i in range(branch):
-                x, ctx = block(i)(x, ctx, c)
+                x, ctx = block(i)(x, ctx, c, **tome_kw(i))
             x = x + cache.astype(self.dtype)
         else:
             x_b = x
             for i in range(cfg.depth):
                 if i == branch:
                     x_b = x
-                x, ctx = block(i)(x, ctx, c)
+                x, ctx = block(i)(x, ctx, c, **tome_kw(i))
             trunk_delta = x - x_b
 
         scale, shift = AdaLNZero(2, cfg.hidden_size, name="norm_out", **kw)(c)

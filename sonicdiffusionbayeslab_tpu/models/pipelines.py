@@ -521,10 +521,15 @@ class StableDiffusion3Model(StableDiffusionXLModel):
     ``cache``/``return_cache``/``cache_branch_id`` interface as the UNet
     (trunk-delta caching: blocks 0..b-1 fresh, the deep stack's residual
     replayed between full steps — models/mmdit.py), so ``DeepCacheMethod``
-    / ``cache_plan_fn`` drive it unchanged.
+    / ``cache_plan_fn`` drive it unchanged.  Token Merging works too
+    (``tome_ratio`` / ``SDBL_TOME_RATIO``): the DiT-ToMe hook merges the
+    most redundant IMAGE tokens around each block's joint attention — the
+    text stream is never merged (models/mmdit.py MMDiTBlock).  Int8 W8A8
+    projections (``SDBL_QUANT=int8``) hit every MMDiT projection/FFN via
+    ``projection_dense`` (conv quant modes have no conv to hit here).
 
     Not available for this family (loud errors, not silent no-ops):
-    ControlNet, IP-Adapter, ToMe, ``(word:1.3)`` prompt weighting.
+    ControlNet, IP-Adapter, ``(word:1.3)`` prompt weighting.
     """
 
     def __init__(self, pretrained_model: str = "stabilityai/stable-diffusion-3-medium",

@@ -1,10 +1,17 @@
-"""Attention dispatch: XLA fused attention by default, Pallas flash kernel
-on TPU behind a flag.
+"""Attention dispatch: tiered Pallas/XLA selection on TPU (auto default).
 
-This is the hot op of the UNet (self-attention over 4096/1024/256-token
-latent grids + 77-token cross-attention; ~the FLOPs the reference spends in
-torch CUDA attention via diffusers, src/models.py:227-235).  The interface
-is fixed here so the backend can change without touching model code.
+This is the hot op of the UNet and MMDiT (self-attention over
+4096/1024/256-token latent grids, the SD3 joint sequence of ~4250 tokens,
+and 77-token cross-attention; ~the FLOPs the reference spends in torch CUDA
+attention via diffusers, src/models.py:227-235).  The interface is fixed
+here so the backend can change without touching model code.
+
+Current default on TPU ('tiered', measured — docs/PERF.md "Current
+defaults"): the Pallas flash kernel everywhere XLA would spill fp32
+[B,H,N,M] score tensors to HBM — i.e. every self-attention shape except
+exactly N=M=4096, where XLA emits a flash-like single fusion at 82% of the
+MXU ceiling — VMEM-guarded by ``fits_vmem``.  See ``_xla_spills_scores``
+for the measured positive list.
 """
 
 from __future__ import annotations
@@ -30,9 +37,12 @@ def get_attention_backend() -> Optional[str]:
     env = os.environ.get("SDBL_ATTENTION", "").strip().lower() or None
     backend = _BACKEND if _BACKEND is not None else env
     if backend is None and jax.default_backend() == "tpu":
-        # Measured default (docs/PERF.md round 3): tiered = XLA's flash-like
-        # fusion where it wins (N=4096), Pallas where XLA spills fp32 scores
-        # to HBM (N<=3072).  +3% end-to-end over pure XLA, exact math.
+        # Measured default (docs/PERF.md rounds 3-4): tiered = XLA's
+        # flash-like fusion where it wins (exactly N=M=4096), Pallas
+        # everywhere else — every other self-attention shape spills fp32
+        # scores to HBM under XLA (see _xla_spills_scores).  +3% on the
+        # SD-1.5 loop, +279% on the SD3 loop (N=4250 fell past the old
+        # N<4096 threshold; round-4 fix).  Exact math either way.
         return "tiered"
     return backend
 
@@ -51,14 +61,18 @@ def _xla_attention(q, k, v, mask=None):
 def dot_product_attention(q, k, v, mask=None):
     """Heads-separate attention: q [B, N, H, D], k/v [B, M, H, D].
 
-    Backend resolution: explicit set_attention_backend / SDBL_ATTENTION env;
-    auto = XLA.  Measured end-to-end on a v5e chip at SD-1.5 512px shapes,
-    XLA's fused attention beats the Pallas kernel by ~18% (11.1k vs 9.3k
-    images/hour) even though the kernel wins some shapes in isolation: the
-    pallas_call boundary forces layout materialization (moveaxis/pad) and
-    blocks cross-op fusion inside the UNet.  The kernel remains opt-in
-    (SDBL_ATTENTION=pallas) — it is the blockwise base a context-parallel
-    axis would build on (SURVEY §5 long-context note).
+    Backend resolution: explicit set_attention_backend / SDBL_ATTENTION
+    env; auto = 'tiered' on TPU, XLA elsewhere.  'tiered' sends a shape to
+    the Pallas flash kernel iff XLA would spill fp32 scores for it
+    (``_xla_spills_scores`` — every self-attention shape except exactly
+    N=M=4096) and the kernel's full-K/V block fits VMEM (``fits_vmem``).
+    'pallas' forces the kernel for every unmasked shape that fits VMEM;
+    'xla' forces the einsum-softmax path.  History: pure-XLA was the round-2
+    default (the pallas_call boundary cost ~18% end-to-end when the kernel
+    was used on ALL tiers including N=4096); the round-3/4 measurements
+    split the tiers — see docs/PERF.md "Current defaults".  The kernel is
+    blockwise — the base a context-parallel axis would build on (SURVEY §5
+    long-context note).
     """
     backend = get_attention_backend()
     if backend in ("pallas", "tiered") and mask is None:

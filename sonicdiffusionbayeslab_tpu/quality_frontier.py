@@ -64,6 +64,15 @@ SD3_MODES = [
     Mode("sd3_exact_bf16", "sd3"),
     Mode("sd3_trunk_delta_2", "sd3", cache_interval=2, cache_branch=2),
     Mode("sd3_trunk_delta_3", "sd3", cache_interval=3, cache_branch=2),
+    # Round-5 MMDiT levers (docs/PERF.md "SD3 approximate levers"):
+    # DiT-ToMe merges image tokens around the joint attention
+    # (models/mmdit.py MMDiTBlock); int8 W8A8 hits every MMDiT
+    # projection/FFN via projection_dense (ops/quant.py).
+    Mode("sd3_tome_0.25", "sd3", {"tome_ratio": 0.25}),
+    Mode("sd3_tome_0.5", "sd3", {"tome_ratio": 0.5}),
+    Mode("sd3_int8", "sd3", quant="int8"),
+    Mode("sd3_max_stack(tome0.5+td3)", "sd3", {"tome_ratio": 0.5},
+         cache_interval=3, cache_branch=2),
 ]
 
 

@@ -226,14 +226,76 @@ def test_mmdit_loud_errors(mmdit):
         mod.apply({"params": params}, lat, t, ctx, None)
     with pytest.raises(ValueError, match="joint_attention_dim"):
         mod.apply({"params": params}, lat, t, ctx[..., :8], {"text_embeds": pooled})
-    with pytest.raises(NotImplementedError, match="Token Merging"):
-        mod.apply({"params": params}, lat, t, ctx, {"text_embeds": pooled}, tome=0.5)
     with pytest.raises(ValueError, match="out of range"):
         mod.apply({"params": params}, lat, t, ctx, {"text_embeds": pooled},
                   return_cache=True, cache_branch_id=cfg.depth)
     with pytest.raises(ValueError, match="exclusive"):
         mod.apply({"params": params}, lat, t, ctx, {"text_embeds": pooled},
                   cache=jnp.zeros((2, 16, cfg.hidden_size)), return_cache=True)
+
+
+def test_mmdit_tome_runs_and_differs(mmdit):
+    """DiT-ToMe (models/mmdit.py MMDiTBlock): merging image tokens around
+    the joint attention must keep the output shape (unmerge restores N),
+    stay finite, change the result vs exact, and be deterministic."""
+    from sonicdiffusionbayeslab_tpu.ops.tome import TomeConfig
+
+    cfg, mod, params, lat, t, ctx, pooled = mmdit
+    added = {"text_embeds": pooled}
+    base = mod.apply({"params": params}, lat, t, ctx, added)
+    tome = TomeConfig(ratio=0.5)
+    out = mod.apply({"params": params}, lat, t, ctx, added, tome=tome)
+    assert out.shape == base.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert not np.allclose(np.asarray(out), np.asarray(base))
+    out2 = mod.apply({"params": params}, lat, t, ctx, added, tome=tome)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_mmdit_tome_zero_ratio_is_exact(mmdit):
+    """ratio -> r=0 builds identity merge/unmerge; must equal the plain
+    forward bit-for-bit (same ops, no gather)."""
+    from sonicdiffusionbayeslab_tpu.ops.tome import TomeConfig
+
+    cfg, mod, params, lat, t, ctx, pooled = mmdit
+    added = {"text_embeds": pooled}
+    base = mod.apply({"params": params}, lat, t, ctx, added)
+    out = mod.apply({"params": params}, lat, t, ctx, added,
+                    tome=TomeConfig(ratio=1e-6))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+
+
+def test_mmdit_tome_indivisible_grid_skipped(mmdit):
+    """A patch grid not divisible by the ToMe cell (sy/sx) must silently
+    run exact (the hook's partition is undefined), not crash."""
+    from sonicdiffusionbayeslab_tpu.ops.tome import TomeConfig
+
+    cfg, mod, params, lat, t, ctx, pooled = mmdit
+    added = {"text_embeds": pooled}
+    # tiny grid is 4x4 patches; sy=3 does not divide it
+    out = mod.apply({"params": params}, lat, t, ctx, added,
+                    tome=TomeConfig(ratio=0.5, sy=3, sx=3))
+    base = mod.apply({"params": params}, lat, t, ctx, added)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+
+
+def test_mmdit_tome_composes_with_trunk_delta_cache(mmdit):
+    """ToMe + trunk-delta caching must compose: a cached call replaying a
+    delta recorded under the same ToMe config reproduces the full ToMe
+    forward (shallow blocks rebuild the same matching; rand=False keeps the
+    partition static so record/replay see identical merges)."""
+    from sonicdiffusionbayeslab_tpu.ops.tome import TomeConfig
+
+    cfg, mod, params, lat, t, ctx, pooled = mmdit
+    added = {"text_embeds": pooled}
+    tome = TomeConfig(ratio=0.5, rand=False)
+    b = 1
+    out_full, delta = mod.apply({"params": params}, lat, t, ctx, added,
+                                return_cache=True, cache_branch_id=b, tome=tome)
+    out_cached = mod.apply({"params": params}, lat, t, ctx, added,
+                           cache=delta, cache_branch_id=b, tome=tome)
+    np.testing.assert_allclose(np.asarray(out_cached), np.asarray(out_full),
+                               atol=1e-5)
 
 
 def test_mmdit_trunk_delta_cache_exact_replay(mmdit):
