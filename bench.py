@@ -67,6 +67,15 @@ def main():
         branch = int(os.environ.get("SDBL_BENCH_CACHE_BRANCH", "2"))
         cache_plan = (CachePlan.every(steps, interval, branch)
                       if interval >= 2 else None)
+        # Round-5 MMDiT levers (docs/PERF.md "SD3 approximate levers"):
+        # SDBL_BENCH_TOME=<ratio> merges image tokens around the joint
+        # attention (DiT-ToMe, models/mmdit.py); SDBL_BENCH_QUANT=int8
+        # W8A8-quantizes every MMDiT projection/FFN (ops/quant.py).
+        tome = float(os.environ.get("SDBL_BENCH_TOME", "0") or 0) or None
+        if os.environ.get("SDBL_BENCH_QUANT"):
+            from sonicdiffusionbayeslab_tpu.ops.quant import set_quant_mode
+
+            set_quant_mode(os.environ["SDBL_BENCH_QUANT"])
         key = jax.random.PRNGKey(29)
         # Micro-batching is REQUIRED at this geometry: the CFG-doubled
         # batch through 24 joint-attention blocks at N ~ 4250 tokens OOMs
@@ -75,7 +84,8 @@ def main():
         mb_env = os.environ.get("SDBL_BENCH_MICROBATCH", "")
         microbatch = int(mb_env) if mb_env else batch  # chunks of 2 (CFG-doubled)
         kw = dict(latent_hw=(128, 128), guidance_scale=7.0, decode=False,
-                  added_cond=added, cache_plan=cache_plan, microbatch=microbatch)
+                  added_cond=added, cache_plan=cache_plan, microbatch=microbatch,
+                  tome=tome)
         engine.sample(params, plan, ctx, nctx, key, **kw)  # warm-up/compile
         times = []
         for r in range(3):
@@ -83,6 +93,10 @@ def main():
             times.append(out.execution_time)
         sec_per_image = min(times) / batch
         cache_tag = f", cache {interval}/b{branch}" if cache_plan else ""
+        if tome:
+            cache_tag += f", tome {tome}"
+        if os.environ.get("SDBL_BENCH_QUANT"):
+            cache_tag += f", quant {os.environ['SDBL_BENCH_QUANT']}"
         print(json.dumps({
             "metric": (f"images/hour/chip SD3-medium 1024px @20-step "
                        f"FlowMatchEuler (loop-only, batch {batch}{cache_tag})"),

@@ -422,10 +422,24 @@ class SpatialTransformer(nn.Module):
         residual = x
         if tome is not None and (H % tome.sy or W % tome.sx):
             tome = None  # partition undefined for this map shape; skip site
+        import os
+
+        # SDBL_PROJ_NHWC=1 (perf experiment, exact math): apply the boundary
+        # projections on the rank-4 NHWC map instead of the [B, N, C] token
+        # tensor — the same dot_general, but XLA's layout assignment sees a
+        # feature-minor operand shared with the neighboring convs, probing
+        # whether the measured N-minor boundary relayout (five [16,4096,320]
+        # fusions at ~49 TFLOP/s, docs/PERF.md round-2 profile) disappears.
+        # Param tree is identical (Dense contracts the last axis at any rank).
+        proj_nhwc = os.environ.get("SDBL_PROJ_NHWC", "") == "1"
         # diffusers Transformer2DModel's input GroupNorm uses eps=1e-6.
         h = GroupNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name="norm")(x)
-        h = h.reshape(B, H * W, C)
-        h = projection_dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(h)
+        if proj_nhwc:
+            h = projection_dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(h)
+            h = h.reshape(B, H * W, C)
+        else:
+            h = h.reshape(B, H * W, C)
+            h = projection_dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_in")(h)
         for i in range(self.depth):
             bkey = None
             if tome is not None and tome_key is not None:
@@ -437,13 +451,16 @@ class SpatialTransformer(nn.Module):
                 name=f"block_{i}",
             )(h, context, ip_context=ip_context, ip_scale=ip_scale,
               tome=tome, tome_hw=(H, W), tome_key=bkey, tome_cache=tome_cache)
-        h = projection_dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
         if self.cfg_tile:
             residual = jnp.concatenate([residual, residual], axis=0)
             B = 2 * B
-        import os
-
-        out = h.reshape(B, H, W, C) + residual
+        if proj_nhwc:
+            h = h.reshape(B, H, W, C)
+            h = projection_dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
+            out = h + residual
+        else:
+            h = projection_dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out")(h)
+            out = h.reshape(B, H, W, C) + residual
         if os.environ.get("SDBL_XFMR_BARRIER", "") == "1":
             # Perf experiment: keep the transformer's token-major layouts
             # from leaking into the neighboring convs' fusions (the profile

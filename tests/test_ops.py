@@ -81,6 +81,36 @@ def test_xfmr_barrier_is_exact(monkeypatch):
     np.testing.assert_array_equal(np.asarray(out_off), np.asarray(out_on))
 
 
+def test_proj_nhwc_is_exact(monkeypatch):
+    """SDBL_PROJ_NHWC (perf knob, docs/PERF.md): applying the boundary
+    projections on the rank-4 NHWC map is the same dot_general — identical
+    outputs with the flag on and off, same params (Dense contracts the
+    last axis at any rank, so the param tree is unchanged too)."""
+    from sonicdiffusionbayeslab_tpu.models.layers import SpatialTransformer
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 32)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((2, 7, 24)).astype(np.float32))
+    st = SpatialTransformer(num_heads=2, head_dim=16, cfg_tile=False)
+    params = st.init(jax.random.PRNGKey(0), x, ctx)["params"]
+
+    monkeypatch.delenv("SDBL_PROJ_NHWC", raising=False)
+    out_off = st.apply({"params": params}, x, ctx)
+    monkeypatch.setenv("SDBL_PROJ_NHWC", "1")
+    out_on = st.apply({"params": params}, x, ctx)
+    np.testing.assert_array_equal(np.asarray(out_off), np.asarray(out_on))
+
+    # cfg_tile entry point (the hero path): latents [B], context [2B].
+    st2 = SpatialTransformer(num_heads=2, head_dim=16, cfg_tile=True)
+    ctx2 = jnp.concatenate([ctx, ctx], axis=0)
+    params2 = st2.init(jax.random.PRNGKey(0), x, ctx2)["params"]
+    monkeypatch.delenv("SDBL_PROJ_NHWC", raising=False)
+    out_off2 = st2.apply({"params": params2}, x, ctx2)
+    monkeypatch.setenv("SDBL_PROJ_NHWC", "1")
+    out_on2 = st2.apply({"params": params2}, x, ctx2)
+    np.testing.assert_array_equal(np.asarray(out_off2), np.asarray(out_on2))
+
+
 def test_flash_attention_gradient_matches_xla():
     """The kernel's custom VJP (Pallas forward, closed-form einsum backward)
     must produce the same q/k/v gradients as differentiating the plain XLA
