@@ -17,9 +17,13 @@ def test_mode_matrix_covers_the_acceleration_zoo():
     assert {"tome_0.25", "tome_0.5", "int8_conv_only",
             "deep_cache_2", "deep_cache_3", "deep_cache_5"} <= set(labels)
     assert any("max_stack" in l for l in labels)
-    assert [m.cache_interval for m in SD3_MODES] == [0, 2, 3]
+    sd3_labels = [m.label for m in SD3_MODES]
+    assert sd3_labels[0] == "sd3_exact_bf16"
+    assert {"sd3_trunk_delta_2", "sd3_trunk_delta_3", "sd3_tome_0.25",
+            "sd3_tome_0.5", "sd3_int8"} <= set(sd3_labels)
+    assert any("max_stack" in l for l in sd3_labels)
     # Approximate modes never mislabel themselves exact.
-    for m in SD15_MODES[1:]:
+    for m in SD15_MODES[1:] + SD3_MODES[1:]:
         assert m.call_kw or m.quant or m.cache_interval
 
 
