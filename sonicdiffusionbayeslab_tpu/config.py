@@ -108,8 +108,32 @@ def validate_config(cfg: ConfigNode) -> ConfigNode:
     return cfg
 
 
-def load_config(path: str | Path) -> ConfigNode:
-    """Load + validate a YAML experiment config."""
+def apply_overrides(raw: dict, overrides: Mapping[str, Any]) -> dict:
+    """Apply dotted-key overrides (``{"dataset.max_count": 32}``) in place.
+
+    Intermediate mappings are created as needed; a non-mapping in the
+    middle of a path is a :class:`ConfigError` (overriding ``a.b`` when
+    ``a`` is a scalar would silently drop the scalar otherwise).
+    """
+    for dotted, value in overrides.items():
+        parts = dotted.split(".")
+        node = raw
+        for p in parts[:-1]:
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                raise ConfigError(
+                    f"override {dotted!r}: {p!r} is {type(nxt).__name__}, not a section")
+            node = nxt
+        node[parts[-1]] = value
+    return raw
+
+
+def load_config(path: str | Path, overrides: Mapping[str, Any] | None = None) -> ConfigNode:
+    """Load + validate a YAML experiment config.
+
+    ``overrides`` maps dotted keys to values, applied before validation —
+    the CLI's repeatable ``--set section.key=value`` flag feeds this.
+    """
     path = Path(path)
     if not path.exists():
         # Parity with the reference CLI: bare names resolve under ./configs
@@ -123,4 +147,7 @@ def load_config(path: str | Path) -> ConfigNode:
         raw = yaml.safe_load(f)
     if not isinstance(raw, Mapping):
         raise ConfigError(f"config root must be a mapping, got {type(raw).__name__}")
+    raw = dict(raw)
+    if overrides:
+        apply_overrides(raw, overrides)
     return validate_config(ConfigNode(raw))

@@ -45,11 +45,18 @@ def load_prompts(prompts_file: str | Path) -> Dict[str, str]:
 
 
 class PromptDataset:
-    """Captions only — what generation needs (images are outputs)."""
+    """Captions only — what generation needs (images are outputs).
 
-    def __init__(self, prompts_file: str | Path):
+    ``max_count`` keeps the first N files (sorted order, deterministic) —
+    the ``dataset.max_count`` config knob for receipt/subset runs of a
+    full grid without editing the shipped YAML.
+    """
+
+    def __init__(self, prompts_file: str | Path, max_count: Optional[int] = None):
         self.img2prompt = load_prompts(prompts_file)
         self.files: List[str] = sorted(self.img2prompt)
+        if max_count is not None:
+            self.files = self.files[: int(max_count)]
 
     def __len__(self) -> int:
         return len(self.files)
@@ -73,8 +80,9 @@ class ImageDatasetWithPrompts(PromptDataset):
         image_dir: str | Path,
         prompts_file: str | Path,
         image_size: Optional[int] = None,
+        max_count: Optional[int] = None,
     ):
-        super().__init__(prompts_file)
+        super().__init__(prompts_file, max_count)
         self.image_dir = Path(image_dir)
         self.image_size = image_size
         missing = [f for f in self.files if not (self.image_dir / f).exists()]

@@ -97,11 +97,13 @@ class BaseMethod:
         prompts = dcfg.get("prompts")
         img_dir = dcfg.get("img_dataset")
         self.image_size = dcfg.get("image_size", 512)
+        max_count = dcfg.get("max_count")  # subset/receipt runs (--set dataset.max_count=N)
         if img_dir and Path(img_dir).exists() and prompts:
-            self.dataset = ImageDatasetWithPrompts(img_dir, prompts, self.image_size)
+            self.dataset = ImageDatasetWithPrompts(img_dir, prompts, self.image_size,
+                                                   max_count=max_count)
             self.has_real_images = True
         elif prompts:
-            self.dataset = PromptDataset(prompts)
+            self.dataset = PromptDataset(prompts, max_count=max_count)
             self.has_real_images = False
         else:
             raise ValueError("dataset config needs at least 'prompts'")

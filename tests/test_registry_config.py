@@ -106,3 +106,48 @@ inference: {batch_size: 2}
     cfg = load_config(p)
     assert cfg.experiment.seed == 29
     assert cfg.model.model_name == "stable_diffusion_model"
+
+
+def test_load_config_overrides(tmp_path):
+    """--set dotted overrides: applied pre-validation, YAML-typed values,
+    intermediate sections created, scalar-in-path rejected."""
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        """
+experiment: {method: ddim, seed: 29}
+model: {model_name: stable_diffusion_model}
+dataset: {image_size: 64}
+inference: {batch_size: 2}
+"""
+    )
+    cfg = load_config(p, {"dataset.max_count": 32, "inference.batch_size": 4})
+    assert cfg.dataset.max_count == 32
+    assert cfg.inference.batch_size == 4
+    # creates missing intermediate sections (known ones pass validation)
+    cfg2 = load_config(p, {"experiment_params.num_inference_steps": [10]})
+    assert cfg2.experiment_params.num_inference_steps == [10]
+    with pytest.raises(ConfigError, match="not a section"):
+        load_config(p, {"experiment.seed.deep": 1})
+
+
+def test_cli_parse_sets():
+    from sonicdiffusionbayeslab_tpu.cli import _parse_sets
+
+    out = _parse_sets(["dataset.max_count=32", "model.use_t5=true", "a.b=hi"])
+    assert out == {"dataset.max_count": 32, "model.use_t5": True, "a.b": "hi"}
+    with pytest.raises(SystemExit):
+        _parse_sets(["noequals"])
+
+
+def test_prompt_dataset_max_count(tmp_path):
+    import json
+
+    from sonicdiffusionbayeslab_tpu.data.dataset import PromptDataset
+
+    f = tmp_path / "p.json"
+    f.write_text(json.dumps({f"img_{i:03d}.jpg": f"prompt {i}" for i in range(10)}))
+    assert len(PromptDataset(f)) == 10
+    ds = PromptDataset(f, max_count=3)
+    assert len(ds) == 3
+    # deterministic: the sorted-first files survive
+    assert ds.files == sorted(ds.img2prompt)[:3]
