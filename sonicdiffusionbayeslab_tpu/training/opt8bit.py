@@ -173,7 +173,23 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999,
         count = (state.count + 1).astype(jnp.float32)
         flat_g, treedef = jax.tree.flatten(updates)
         flat_l = treedef.flatten_up_to(state.leaves)
-        out = [update_leaf(g, l, count) for g, l in zip(flat_g, flat_l)]
+        # Serialize the leaf updates.  Without an ordering constraint XLA's
+        # scheduler may run every leaf's dequant->Adam->requant concurrently,
+        # holding fp32 m AND v transients for the WHOLE tree at once (~2x the
+        # moment trees, measured as the batch-4 runtime OOM on the v5e,
+        # docs/TRAINING.md receipts).  Threading each leaf's input through an
+        # optimization_barrier with the previous leaf's output scales makes
+        # leaf i+1 data-depend on leaf i, so transients live one leaf at a
+        # time and each gradient leaf's buffer is free for reuse as soon as
+        # its update is emitted.  Same HLO math per leaf — bitwise identical
+        # results; only the schedule (and peak HBM) changes.
+        out = []
+        token = jnp.zeros((), jnp.float32)
+        for g, l in zip(flat_g, flat_l):
+            g, token = jax.lax.optimization_barrier((g, token))
+            upd, new_leaf = update_leaf(g, l, count)
+            token = new_leaf.m_scale
+            out.append((upd, new_leaf))
         new_updates = treedef.unflatten([o[0] for o in out])
         new_leaves = treedef.unflatten([o[1] for o in out])
         return new_updates, Adam8bitState(state.count + 1, new_leaves)

@@ -98,7 +98,12 @@ def _unet_bench(remat: bool, lora_rank: int, batch: int, steps: int,
     def once():
         holder["state"], metrics = trainer.train_step(
             holder["state"], params, lat, ctx, key)
-        jax.block_until_ready(metrics["loss"])
+        # Block on the FULL output state, not just the scalar loss: over the
+        # axon tunnel the scalar future can resolve before the big state
+        # buffers finish, which under-times the step (measured: an
+        # impossible 11.5 ms/step for full-UNet adam8bit when blocking on
+        # loss alone).
+        jax.block_until_ready((holder["state"], metrics))
 
     return _time_steps(once, steps)
 
@@ -130,7 +135,7 @@ def _sd3_lora_bench(batch: int, steps: int):
     def once():
         holder["state"], metrics = trainer.train_step(
             holder["state"], params, lat, ctx, key, added=added)
-        jax.block_until_ready(metrics["loss"])
+        jax.block_until_ready((holder["state"], metrics))  # see _unet_bench
 
     return _time_steps(once, steps)
 
