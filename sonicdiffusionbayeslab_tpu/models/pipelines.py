@@ -621,10 +621,22 @@ class StableDiffusion3Model(StableDiffusionXLModel):
         if staged:
             params = self.engine.init_params(seed=seed, latent_hw=self.latent_hw,
                                              skip_t5=True)
-            # Random-init the 4.7B tower on the host CPU backend — an
-            # on-device init would claim the HBM staging exists to avoid.
-            with jax.default_device(jax.devices("cpu")[0]):
-                self._t5_host = jax.device_get(self.engine.init_t5_params(seed))
+            # Random-init the 4.7B tower ON the accelerator, then evacuate
+            # to host RAM and free the device copy before sampling claims
+            # HBM.  A host-CPU init of 4.7B threefry draws takes >50 min on
+            # a single core (measured); on-device it is seconds, the key
+            # derivation is unchanged (staged == resident bit-for-bit), and
+            # at init time the device holds only the ~4.1 GB MMDiT+CLIP+VAE
+            # tree, so the 9.5 GB bf16 T5 fits transiently.  If it does
+            # not (smaller chip), fall back to the slow host init.
+            try:
+                t5_dev = self.engine.init_t5_params(seed)
+                self._t5_host = jax.device_get(t5_dev)
+                for leaf in jax.tree_util.tree_leaves(t5_dev):
+                    leaf.delete()
+            except jax.errors.JaxRuntimeError:
+                with jax.default_device(jax.devices("cpu")[0]):
+                    self._t5_host = jax.device_get(self.engine.init_t5_params(seed))
             return params
         return self.engine.init_params(seed=seed, latent_hw=self.latent_hw)
 
